@@ -1,0 +1,89 @@
+"""Benchmark an attack over many users and average metrics
+(reference: benchmark_breaches.py:22-119).
+
+Usage:
+    python benchmark_breaches.py case=1_single_image_small attack=invertinggradients num_trials=10
+"""
+
+import datetime
+import logging
+import sys
+import time
+
+import breaching_tpu as breaching
+
+log = logging.getLogger(__name__)
+
+
+def main_process(process_idx, local_group_size, cfg):
+    local_time = time.time()
+    setup = breaching.utils.system_startup(process_idx, local_group_size, cfg)
+    model, loss_fn = breaching.cases.construct_model(
+        cfg.case.model, cfg.case.data, pretrained=cfg.case.server.pretrained,
+        key=breaching.utils.split_key(setup))
+    server = breaching.cases.construct_server(model, loss_fn, cfg.case, setup)
+    model = server.vet_model(model)
+    attacker = breaching.attacks.prepare_attack(model, loss_fn, cfg.attack, setup)
+
+    if cfg.case.user.user_idx is not None:
+        print("The argument user_idx is disregarded during the benchmark. Starting at user 0.")
+    cfg.case.user.user_idx = -1
+
+    overall_metrics = []
+    run = 0
+    while run < cfg.num_trials:
+        local_run_time = time.time()
+        cfg.case.user.user_idx += 1
+        try:
+            user = breaching.cases.construct_user(model, loss_fn, cfg.case, setup)
+        except ValueError:
+            log.info("Cannot find other valid users. Finishing benchmark.")
+            break
+        if cfg.case.data.modality == "text":
+            dshape = user.dataloader.dataset[0]["input_ids"].shape
+            data_shape_mismatch = any(d != d_ref for d, d_ref in zip(dshape, cfg.case.data.shape))
+        else:
+            data_shape_mismatch = False
+        if len(user.dataloader.dataset) < user.num_data_points or data_shape_mismatch:
+            log.info(f"Skipping user {user.user_idx} (too little data or shape mismatch).")
+            continue
+        run += 1
+        log.info(f"Now evaluating user {user.user_idx} in trial {run}.")
+        try:
+            shared_user_data, payloads, true_user_data = server.run_protocol(user)
+            reconstruction, stats = attacker.reconstruct(
+                payloads, shared_user_data, server.secrets, dryrun=cfg.dryrun)
+            metrics = breaching.analysis.report(
+                reconstruction, true_user_data, payloads, server.model,
+                order_batch=True, compute_full_iip=True, cfg_case=cfg.case, setup=setup)
+            row = dict(spent_time=time.time() - local_run_time, user_idx=user.user_idx, **{
+                k: v for k, v in metrics.items() if not isinstance(v, (list, dict, type(None)))})
+            overall_metrics.append(row)
+            breaching.utils.save_summary(cfg, metrics, stats,
+                                         time.time() - local_run_time, table_name="benchmark")
+            if cfg.save_reconstruction:
+                breaching.utils.save_reconstruction(reconstruction, payloads, true_user_data, cfg)
+            if cfg.dryrun:
+                break
+        except Exception as e:  # noqa: BLE001 — continue the fleet on per-user failure
+            log.info(f"Trial on user {user.user_idx} failed with {type(e).__name__}: {e}. Continuing.")
+            run -= 1
+            cfg.num_trials -= 1
+
+    average_metrics = breaching.utils.avg_n_dicts(overall_metrics)
+    log.info(f"Average benchmark metrics over {len(overall_metrics)} users: {average_metrics}")
+    breaching.utils.save_to_table(
+        "outputs/tables", f"BENCHMARK_breach_{cfg.case.name}_{cfg.attack.type}", cfg.dryrun,
+        **average_metrics)
+    log.info(f"Total benchmark time: {str(datetime.timedelta(seconds=time.time() - local_time))}")
+    return average_metrics
+
+
+def main_launcher():
+    cfg = breaching.get_config(sys.argv[1:])
+    log.info(f"--------Launching breaching-tpu benchmark {cfg.name}!--------")
+    return main_process(0, 1, cfg)
+
+
+if __name__ == "__main__":
+    main_launcher()

@@ -1,0 +1,146 @@
+"""Attack-quality reporting (reference: breaching/analysis/analysis.py:14-107).
+
+Dispatches vision vs. text metrics, computes label accuracy, and the feature-space
+MSE through the payload model. All heavy tensor work runs on-device; only tiny
+assignment solves run on host.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import metrics as M
+
+log = logging.getLogger(__name__)
+
+
+def report(reconstructed_user_data, true_user_data, server_payload, model,
+           order_batch=True, compute_full_iip=False, cfg_case=None, setup=None,
+           loss_fn=None):
+    metadata = server_payload[0]["metadata"]
+    if metadata.modality == "vision":
+        test_metrics = _run_vision_metrics(
+            reconstructed_user_data, true_user_data, server_payload, model,
+            order_batch, compute_full_iip, cfg_case)
+    else:
+        test_metrics = _run_text_metrics(
+            reconstructed_user_data, true_user_data, server_payload, model, order_batch)
+
+    test_metrics["label_acc"] = _label_accuracy(reconstructed_user_data, true_user_data, metadata)
+    test_metrics.update(_feature_space_mse(
+        reconstructed_user_data, true_user_data, server_payload, model))
+    test_metrics["parameters"] = int(sum(
+        x.size for x in jax.tree_util.tree_leaves(model.params)))
+
+    if metadata.modality == "vision":
+        log.info(
+            f"METRICS: | MSE: {test_metrics['mse']:2.4f} | PSNR: {test_metrics['psnr']:4.2f} | "
+            f"FMSE: {test_metrics['feat_mse']:2.4e} | LPIPS: {test_metrics.get('lpips', float('nan')):4.2f} | "
+            f"R-PSNR: {test_metrics['rpsnr']:4.2f} | SSIM: {test_metrics['ssim']:2.4f} | "
+            f"Label Acc: {test_metrics['label_acc']:2.2%}")
+    else:
+        log.info(
+            f"METRICS: | Accuracy: {test_metrics['accuracy']:2.4f} | "
+            f"S-BLEU: {test_metrics.get('sacrebleu', float('nan')):4.2f} | "
+            f"Token Acc: {test_metrics.get('token_acc', float('nan')):2.2%} | "
+            f"Label Acc: {test_metrics['label_acc']:2.2%}")
+    return test_metrics
+
+
+def _run_vision_metrics(rec_data, true_data, server_payload, model,
+                        order_batch, compute_full_iip, cfg_case):
+    metadata = server_payload[0]["metadata"]
+    dm = jnp.asarray(metadata.mean, jnp.float32).reshape(1, 1, 1, -1)
+    ds = jnp.asarray(metadata.std, jnp.float32).reshape(1, 1, 1, -1)
+
+    rec = jnp.asarray(rec_data["data"], jnp.float32)
+    ref = jnp.asarray(true_data["data"], jnp.float32)
+    rec_den = jnp.clip(rec * ds + dm, 0, 1)
+    ref_den = jnp.clip(ref * ds + dm, 0, 1)
+
+    if order_batch and rec.shape[0] == ref.shape[0] and rec.shape[0] > 1:
+        order = M.compute_batch_order(np.asarray(rec_den), np.asarray(ref_den))
+        rec, rec_den = rec[order], rec_den[order]
+        if rec_data.get("labels") is not None and len(np.asarray(rec_data["labels"]).shape) > 0:
+            rec_data = dict(rec_data, labels=jnp.asarray(rec_data["labels"])[order])
+        rec_data["data"] = rec
+        rec_data["order"] = order
+
+    mse, psnr = M.mse_psnr(rec_den, ref_den, factor=1.0, clip=True)
+    out = dict(
+        mse=float(mse),
+        psnr=float(psnr),
+        ssim=float(M.ssim(rec_den, ref_den)),
+        rpsnr=float(M.registered_psnr(rec_den, ref_den)),
+        max_mse=float(jnp.max(jnp.mean(jnp.square(rec_den - ref_den),
+                                       axis=tuple(range(1, rec.ndim))))),
+        lpips=float("nan"),  # torch-based LPIPS is an optional eval-only extra
+        order=rec_data.get("order"),
+    )
+
+    if compute_full_iip and cfg_case is not None:
+        out["IIP-pixel"] = float(_compute_iip(rec_den, ref_den, cfg_case))
+    return out
+
+
+def _compute_iip(rec_den, ref_den, cfg_case):
+    from ..cases.data import construct_dataloader
+
+    loader = construct_dataloader(cfg_case.data, cfg_case.impl,
+                                  user_idx=0, return_full_dataset=True)
+    dm = np.asarray(cfg_case.data.mean, np.float32)
+    ds = np.asarray(cfg_case.data.std, np.float32)
+    pool = []
+    for batch in loader:
+        pool.append(batch["inputs"])
+        if sum(p.shape[0] for p in pool) >= 256:
+            break
+    pool = np.concatenate(pool)[:256]
+    pool_den = np.clip(pool * ds + dm, 0, 1)
+    return M.image_identifiability_precision(rec_den, ref_den, jnp.asarray(pool_den))
+
+
+def _run_text_metrics(rec_data, true_data, server_payload, model, order_batch):
+    from .text_metrics import run_text_metrics
+
+    return run_text_metrics(rec_data, true_data, server_payload, model, order_batch)
+
+
+def _label_accuracy(rec_data, true_data, metadata):
+    """Multiset label overlap via bincount (reference: analysis.py:282-312)."""
+    rec_labels = rec_data.get("labels")
+    true_labels = true_data.get("labels")
+    if rec_labels is None or true_labels is None:
+        return float("nan")
+    rec_labels = np.asarray(rec_labels).reshape(-1)
+    true_labels = np.asarray(true_labels).reshape(-1)
+    num_classes = int(max(rec_labels.max(initial=0), true_labels.max(initial=0))) + 1
+    overlap = np.minimum(
+        np.bincount(rec_labels, minlength=num_classes),
+        np.bincount(true_labels, minlength=num_classes)).sum()
+    return float(overlap / max(len(true_labels), 1))
+
+
+def _feature_space_mse(rec_data, true_data, server_payload, model):
+    """MSE between pre-head features of reconstruction and truth through the
+    payload model (reference: analysis.py:57-76)."""
+    params = jax.tree_util.tree_map(jnp.asarray, server_payload[0]["parameters"])
+    buffers = server_payload[0]["buffers"] or model.buffers
+
+    @jax.jit
+    def features_of(x):
+        _, aux = model.apply(params, buffers, x, train=False, capture=True)
+        inter = aux.get("intermediates", {})
+        from ..attacks.auxiliaries.regularizers import _find_sown
+
+        return _find_sown(inter, "features")
+
+    rec_feats = features_of(jnp.asarray(rec_data["data"], jnp.float32))
+    true_feats = features_of(jnp.asarray(true_data["data"], jnp.float32))
+    if rec_feats is None or true_feats is None:
+        return dict(feat_mse=float("nan"))
+    return dict(feat_mse=float(jnp.mean(jnp.square(rec_feats - true_feats))))

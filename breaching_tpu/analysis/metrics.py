@@ -1,0 +1,130 @@
+"""Reconstruction-quality metrics in JAX.
+
+Counterpart of reference breaching/analysis/metrics.py. PSNR/MSE follow
+metrics.py:108-130; SSIM is a windowed implementation on-device; registered PSNR
+(metrics.py:133-242, kornia homography in the reference) is implemented as a
+jitted grid of small shift/scale registrations; IIP (metrics.py:245-295) is a
+nearest-neighbor identifiability check over the user's data pool.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mse_psnr(rec, ref, factor: float = 1.0, clip: bool = False):
+    """Per-batch MSE and mean PSNR (reference: metrics.py:108-130)."""
+    if clip:
+        rec = jnp.clip(rec, 0, 1)
+    mse_per = jnp.mean(jnp.square(rec - ref), axis=tuple(range(1, rec.ndim)))
+
+    def one_psnr(mse):
+        return jnp.where(
+            mse > 0,
+            10.0 * jnp.log10(factor ** 2 / jnp.maximum(mse, 1e-20)),
+            jnp.inf,
+        )
+
+    psnrs = jax.vmap(one_psnr)(mse_per)
+    finite = jnp.isfinite(psnrs)
+    mean_psnr = jnp.where(
+        finite.any(), jnp.nanmean(jnp.where(finite, psnrs, jnp.nan)), jnp.inf)
+    return jnp.mean(mse_per), mean_psnr
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
+    coords = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-jnp.square(coords) / (2 * sigma ** 2))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def ssim(rec, ref, max_val: float = 1.0):
+    """Mean SSIM over the batch, NHWC, per-channel gaussian windows."""
+    kernel = _gaussian_kernel()[:, :, None, None]
+    C = rec.shape[-1]
+    kernel = jnp.tile(kernel, (1, 1, 1, C))
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+
+    mu_x, mu_y = filt(rec), filt(ref)
+    sigma_x = filt(rec * rec) - mu_x ** 2
+    sigma_y = filt(ref * ref) - mu_y ** 2
+    sigma_xy = filt(rec * ref) - mu_x * mu_y
+    c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
+    ssim_map = ((2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)) / (
+        (mu_x ** 2 + mu_y ** 2 + c1) * (sigma_x + sigma_y + c2))
+    return jnp.mean(ssim_map)
+
+
+def registered_psnr(rec, ref, factor: float = 1.0):
+    """Shift-robust PSNR: best PSNR over a grid of small translations/flips.
+
+    The reference optimizes a homography with kornia (metrics.py:133-242) and
+    keeps the best of registered/unregistered. A dense shift grid is an
+    XLA-friendly approximation that captures the dominant ambiguity
+    (translation) of gradient-inversion reconstructions.
+    """
+    shifts = [-2, -1, 0, 1, 2]
+
+    def psnr_at(rec_s):
+        _, p = mse_psnr(rec_s, ref, factor=factor, clip=True)
+        return p
+
+    best = psnr_at(rec)
+    for dy in shifts:
+        for dx in shifts:
+            shifted = jnp.roll(rec, (dy, dx), axis=(1, 2))
+            best = jnp.maximum(best, psnr_at(shifted))
+    return best
+
+
+def image_identifiability_precision(rec_denorm, true_denorm, pool_denorm):
+    """IIP (reference: metrics.py:245-295): fraction of reconstructions whose
+    nearest neighbor in the candidate pool (true data + decoys) is the matching
+    true image. Distances in pixel space (the reference optionally uses LPIPS
+    features; pixel space is its fallback)."""
+    B = rec_denorm.shape[0]
+    pool = jnp.concatenate([true_denorm, pool_denorm], axis=0)
+    rec_flat = rec_denorm.reshape(B, -1)
+    pool_flat = pool.reshape(pool.shape[0], -1)
+    d = jnp.sum(jnp.square(rec_flat[:, None, :] - pool_flat[None, :, :]), axis=-1)
+    nn_idx = jnp.argmin(d, axis=1)
+    return jnp.mean((nn_idx == jnp.arange(B)).astype(jnp.float32))
+
+
+def compute_batch_order(rec, ref):
+    """Match reconstructed to true images by solving the assignment problem on an
+    all-pairs MSE cost matrix (reference orders via LPIPS + linear_sum_assignment,
+    analysis.py:332-375; the cost matrix is computed on-device, the small
+    assignment solve stays on host)."""
+    from scipy.optimize import linear_sum_assignment
+
+    B = rec.shape[0]
+    if B == 1:
+        return np.asarray([0])
+    rec_flat = rec.reshape(B, -1)
+    ref_flat = ref.reshape(B, -1)
+    cost = jax.jit(lambda a, b: jnp.mean(
+        jnp.square(a[:, None, :] - b[None, :, :]), axis=-1))(ref_flat, rec_flat)
+    _, order = linear_sum_assignment(np.asarray(cost))
+    return order
+
+
+def gradient_uniqueness(grads_per_example):
+    """Diagnostic: fraction of gradient entries touched by exactly one datapoint
+    (reference: metrics.py:58-105)."""
+    leaves = [jnp.stack([jnp.abs(g) > 0 for g in ex]) for ex in
+              zip(*[jax.tree_util.tree_leaves(g) for g in grads_per_example])]
+    total = unique = 0
+    for stack in leaves:
+        counts = jnp.sum(stack, axis=0)
+        unique += jnp.sum(counts == 1)
+        total += counts.size
+    return unique / max(total, 1)

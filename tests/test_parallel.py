@@ -1,0 +1,73 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+
+requires_multidevice = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices")
+
+
+@requires_multidevice
+def test_make_mesh_factorization():
+    from breaching_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    assert mesh.shape["restarts"] * mesh.shape["model"] == 8
+    assert mesh.shape["model"] == 2  # largest divisor <= sqrt(8)
+
+
+@requires_multidevice
+def test_dryrun_multichip_entrypoint():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+
+
+@requires_multidevice
+def test_sharded_matches_single_device():
+    """The sharded attack step must produce the same values as unsharded."""
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from breaching_tpu.attacks.auxiliaries.objectives import Euclidean
+    from breaching_tpu.cases.models import construct_model
+    from breaching_tpu.config.loader import ConfigNode
+    from breaching_tpu.parallel import make_mesh, params_partition_specs, shard_pytree
+
+    cfg_data = ConfigNode(
+        name="CIFAR10", modality="vision", task="classification", classes=10,
+        shape=[3, 16, 16], normalize=True, mean=[0.5] * 3, std=[0.25] * 3,
+        path="~/x", size=100, examples_from_split="validation",
+        partition="none", default_clients=1, batch_size=4, caching=False)
+    model, loss_fn = construct_model("ConvNetSmall16", cfg_data, key=jax.random.PRNGKey(0))
+    x_true = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    labels = jnp.asarray([0, 1])
+
+    def task(p, x):
+        out, _ = model.apply(p, {}, x, train=False)
+        return loss_fn(out, labels)
+
+    target = jax.grad(task)(model.params, x_true)
+    objective = Euclidean(scale=1.0)
+    objective.initialize(loss_fn, model, None, None)
+
+    def matching(c, params, target):
+        obj, _, _ = objective(params, {}, target, c, labels)
+        return obj
+
+    candidate = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    plain = jax.jit(jax.grad(matching))(candidate, model.params, target)
+
+    mesh = make_mesh(8)
+    specs = params_partition_specs(model.params, mesh)
+    params_sharded = shard_pytree(model.params, mesh, specs)
+    target_sharded = shard_pytree(target, mesh, specs)
+    sharded = jax.jit(jax.grad(matching))(candidate, params_sharded, target_sharded)
+
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded), rtol=2e-4, atol=1e-6)
