@@ -10,6 +10,10 @@ autograd per iteration (reference:110-143); here the whole attack is:
                                   see breaching_tpu/parallel/),
     chunked by `optim.callback`:  host logging/abort checks between compiled chunks.
 
+The candidate is a *pytree* (`{"data": images}`, plus `{"labels": logits}` for the
+joint DLG variant in optimization_with_label_attack.py), so every optimizer,
+gradient transform, and best-iterate tracker below is written pytree-generically.
+
 This is where the >=10x throughput over the torch reference comes from: the
 second-order gradient is one fused XLA computation, restarts amortize onto the
 MXU as extra batch, and no Python runs between iterations.
@@ -47,6 +51,16 @@ class OptimizationBasedAttacker(_BaseAttacker):
             for key, rcfg in self.cfg.regularization.items():
                 if rcfg and rcfg.get("scale", 0) > 0:
                     self.regularizers.append(regularizer_lookup[key](self.setup, **rcfg))
+        self.augmentations = self._build_augmentations()
+
+    def _build_augmentations(self):
+        if not self.cfg.get("augmentations"):
+            return None
+        from .auxiliaries.augmentations import augmentation_lookup
+
+        augs = [augmentation_lookup[key](**(acfg or {}))
+                for key, acfg in self.cfg.augmentations.items()]
+        return augs
 
     def __repr__(self):
         n = "\n" + " " * 18
@@ -66,26 +80,45 @@ class OptimizationBasedAttacker(_BaseAttacker):
         rec_models, labels, stats = self.prepare_attack(server_payload, shared_data)
         shared_data = self._shared_data_cache
 
-        best_candidates, opt_values, trial_stats = self._run_all_trials(
+        best_trees, opt_values, trial_stats = self._run_all_trials(
             rec_models, shared_data, labels, stats, initial_data, dryrun)
 
-        scores = self._score_all_trials(best_candidates, labels, rec_models, shared_data)
-        optimal = self._select_optimal_reconstruction(best_candidates, scores, stats)
-        reconstructed_data = dict(data=optimal, labels=labels)
+        scores = self._score_all_trials(best_trees, labels, rec_models, shared_data)
+        optimal_tree = self._select_optimal_reconstruction(best_trees, scores, stats)
+        reconstructed_data = self._extract_solution(optimal_tree, labels)
 
         if server_payload[0]["metadata"].modality == "text":
             reconstructed_data = self._postprocess_text_data(reconstructed_data)
         if "ClassAttack" in server_secrets:
             # Only a subset of images was reconstructed (reference:82-87).
             info = server_secrets["ClassAttack"]
+            optimal = reconstructed_data["data"]
             full = jnp.zeros((info["true_num_data"], *optimal.shape[1:]), optimal.dtype)
             full = full.at[jnp.asarray(info["target_indx"]).reshape(-1)].set(optimal)
             reconstructed_data = dict(data=full, labels=jnp.asarray(info["all_labels"]))
         return reconstructed_data, stats
 
-    # ------------------------------------------------------------------ core loop
+    # ---------------------------------------------------------- candidate tree
 
-    def _build_loss_fn(self, rec_models, shared_data, labels):
+    def _init_candidate_tree(self, num_points, key, labels):
+        """The optimization variable as a pytree. Base attack: just the data."""
+        return dict(data=self._initialize_data((num_points, *self.nhwc_shape), key))
+
+    def _effective_labels(self, candidate_tree, labels):
+        """Labels fed to the task loss; the joint attack derives them from the tree."""
+        return labels
+
+    def _project_tree(self, candidate_tree, min_box, max_box):
+        out = dict(candidate_tree)
+        out["data"] = jnp.clip(candidate_tree["data"], min_box, max_box)
+        return out
+
+    def _extract_solution(self, optimal_tree, labels):
+        return dict(data=optimal_tree["data"], labels=labels)
+
+    # ------------------------------------------------------------------ loss
+
+    def _build_loss_fn(self, rec_models, shared_data, labels, augmentation_key=None):
         params_list = tuple(m.params for m in rec_models)
         buffers_list = tuple(m.buffers for m in rec_models)
         grads_list = tuple(d["gradients"] for d in shared_data)
@@ -94,14 +127,24 @@ class OptimizationBasedAttacker(_BaseAttacker):
             type(r).__name__ in ("DeepInversion", "FeatureRegularization")
             for r in self.regularizers)
         objective, regularizers = self.objective, tuple(self.regularizers)
+        augmentations = self.augmentations
+        differentiable_augs = bool(self.cfg.differentiable_augmentations)
 
-        def total_loss(candidate):
+        def total_loss(candidate_tree, aug_key):
+            candidate = candidate_tree["data"]
+            if augmentations:
+                augmented = candidate
+                for i, aug in enumerate(augmentations):
+                    augmented = aug(augmented, jax.random.fold_in(aug_key, i))
+                candidate = augmented if differentiable_augs else (
+                    candidate + jax.lax.stop_gradient(augmented - candidate))
+            eff_labels = self._effective_labels(candidate_tree, labels)
             total = jnp.zeros((), candidate.dtype)
             task_total = jnp.zeros((), candidate.dtype)
             intermediates = []
             for p, b, g in zip(params_list, buffers_list, grads_list):
                 obj, task, inter = objective(
-                    p, b, g, candidate, labels, bn_train=bn_train, capture=need_capture)
+                    p, b, g, candidate, eff_labels, bn_train=bn_train, capture=need_capture)
                 total = total + obj
                 task_total = task_total + task
                 intermediates.append(inter)
@@ -110,6 +153,8 @@ class OptimizationBasedAttacker(_BaseAttacker):
             return total, task_total
 
         return total_loss
+
+    # ------------------------------------------------------------------ core loop
 
     def _run_all_trials(self, rec_models, shared_data, labels, stats, initial_data, dryrun):
         from ..utils import split_key
@@ -125,20 +170,21 @@ class OptimizationBasedAttacker(_BaseAttacker):
         local_hp = metadata.get("local_hyperparams")
         if local_hp is not None:
             local_hp = dict(local_hp)
-            local_hp["labels"] = jnp.asarray(np.stack(local_hp["labels"]))
+            local_hp["labels"] = jnp.asarray(np.stack([np.asarray(l) for l in local_hp["labels"]]))
 
         self.objective.initialize(self.loss_fn, rec_models[0], local_hp, self.cfg.impl)
         for reg in self.regularizers:
             reg.initialize(rec_models, shared_data, labels)
 
-        # --- candidate init: [trials, B, H, W, C] ---
+        # --- candidate init: pytree with leading [trials, ...] axes ---
         key = split_key(self.setup)
         init_keys = jax.random.split(key, num_trials)
         candidates = jax.vmap(
-            lambda k: self._initialize_data((num_points, *self.nhwc_shape), k))(init_keys)
+            lambda k: self._init_candidate_tree(num_points, k, labels))(init_keys)
         if initial_data is not None:
-            candidates = jnp.broadcast_to(
-                jnp.asarray(initial_data)[None], candidates.shape).astype(candidates.dtype)
+            data0 = jnp.broadcast_to(jnp.asarray(initial_data)[None],
+                                     candidates["data"].shape)
+            candidates = dict(candidates, data=data0.astype(candidates["data"].dtype))
 
         total_loss = self._build_loss_fn(rec_models, shared_data, labels)
         optimizer, needs_value_fn = optimizer_lookup(
@@ -157,41 +203,53 @@ class OptimizationBasedAttacker(_BaseAttacker):
         min_box, max_box = -dm / ds, (1 - dm) / ds
         noise_key = split_key(self.setup)
 
-        def transform_grad(grad, iteration, trial_key):
-            if langevin > 0:
-                lr_now = lr_schedule(iteration)
-                noise = jax.random.normal(jax.random.fold_in(trial_key, iteration), grad.shape, grad.dtype)
-                grad = grad + langevin * lr_now * noise
-            if grad_clip is not None:
-                norm = jnp.sqrt(jnp.sum(jnp.square(grad)))
-                factor = jnp.where(norm > grad_clip, grad_clip / (norm + 1e-6), 1.0)
-                grad = grad * factor
-            if signed in ("soft",):
-                scaling = 1.0 - iteration / max_iterations
-                grad = jnp.tanh(grad * scaling) / jnp.maximum(scaling, 1e-3)
-            elif signed in ("hard", True):
-                grad = jnp.sign(grad)
-            return grad
+        def transform_grads(grads, iteration, trial_key):
+            """Langevin noise + clipping + sign transforms, applied per pytree leaf
+            (the reference applies the same ops to each optimized tensor,
+            optimization_based_attack.py:166-184)."""
+            leaves, treedef = jax.tree_util.tree_flatten(grads)
+            out = []
+            for i, grad in enumerate(leaves):
+                if langevin > 0:
+                    lr_now = lr_schedule(iteration)
+                    noise = jax.random.normal(
+                        jax.random.fold_in(jax.random.fold_in(trial_key, iteration), i),
+                        grad.shape, grad.dtype)
+                    grad = grad + langevin * lr_now * noise
+                if grad_clip is not None:
+                    norm = jnp.sqrt(jnp.sum(jnp.square(grad)))
+                    factor = jnp.where(norm > grad_clip, grad_clip / (norm + 1e-6), 1.0)
+                    grad = grad * factor
+                if signed in ("soft",):
+                    scaling = 1.0 - iteration / max_iterations
+                    grad = jnp.tanh(grad * scaling) / jnp.maximum(scaling, 1e-3)
+                elif signed in ("hard", True):
+                    grad = jnp.sign(grad)
+                out.append(grad)
+            return jax.tree_util.tree_unflatten(treedef, out)
 
         value_and_grad = jax.value_and_grad(total_loss, has_aux=True)
-        scalar_loss = lambda c: total_loss(c)[0]
 
         def step(carry, iteration):
             candidate, opt_state, best, best_val, trial_key = carry
-            (value, task_loss), grad = value_and_grad(candidate)
-            grad = transform_grad(grad, iteration, trial_key)
+            aug_key = jax.random.fold_in(trial_key, iteration)
+            (value, task_loss), grad = value_and_grad(candidate, aug_key)
+            grad = transform_grads(grad, iteration, trial_key)
             if needs_value_fn:
                 updates, opt_state = optimizer.update(
-                    grad, opt_state, candidate, value=value, grad=grad, value_fn=scalar_loss)
+                    grad, opt_state, candidate, value=value, grad=grad,
+                    value_fn=lambda c: total_loss(c, aug_key)[0])
             else:
                 updates, opt_state = optimizer.update(grad, opt_state, candidate)
             new_candidate = optax.apply_updates(candidate, updates)
             if boxed:
-                new_candidate = jnp.clip(new_candidate, min_box, max_box)
+                new_candidate = self._project_tree(new_candidate, min_box, max_box)
             finite = jnp.isfinite(value)
-            new_candidate = jnp.where(finite, new_candidate, candidate)
+            new_candidate = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new_candidate, candidate)
             improved = jnp.logical_and(finite, value < best_val)
-            best = jnp.where(improved, candidate, best)
+            best = jax.tree_util.tree_map(
+                lambda b, c: jnp.where(improved, c, b), best, candidate)
             best_val = jnp.where(improved, value, best_val)
             return (new_candidate, opt_state, best, best_val, trial_key), (value, task_loss)
 
@@ -203,8 +261,7 @@ class OptimizationBasedAttacker(_BaseAttacker):
         def run_chunk(carry, start, length):
             if length not in chunk_runners:
                 chunk_runners[length] = jax.jit(
-                    jax.vmap(lambda c, s: run_chunk_single(c, s, length), in_axes=(0, None)),
-                    static_argnums=())
+                    jax.vmap(lambda c, s: run_chunk_single(c, s, length), in_axes=(0, None)))
             return chunk_runners[length](carry, start)
 
         opt_state = jax.vmap(optimizer.init)(candidates)
@@ -216,8 +273,9 @@ class OptimizationBasedAttacker(_BaseAttacker):
         carry = (candidates, opt_state, best, best_val, trial_keys)
 
         for t in range(num_trials):
-            stats[f"Trial_{t}_Val"] = []
-        stats["chunk_iters"], stats["chunk_time"] = [], []
+            stats.setdefault(f"Trial_{t}_Val", [])
+        stats.setdefault("chunk_iters", [])
+        stats.setdefault("chunk_time", [])
         current_wallclock = time.time()
         iteration = 0
         while iteration < max_iterations:
@@ -247,42 +305,46 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
     # ------------------------------------------------------------------ scoring
 
-    def _score_all_trials(self, best_candidates, labels, rec_models, shared_data):
+    def _score_all_trials(self, best_trees, labels, rec_models, shared_data):
         scoring = self.cfg.restarts.scoring
         if scoring in ("euclidean", "cosine-similarity"):
             objective = Euclidean() if scoring == "euclidean" else CosineSimilarity()
             local_hp = shared_data[0]["metadata"].get("local_hyperparams")
             if local_hp is not None:
                 local_hp = dict(local_hp)
-                local_hp["labels"] = jnp.asarray(np.stack(local_hp["labels"]))
+                local_hp["labels"] = jnp.asarray(np.stack([np.asarray(l) for l in local_hp["labels"]]))
             objective.initialize(self.loss_fn, rec_models[0], local_hp, self.cfg.impl)
 
-            def score_one(candidate):
+            def score_one(candidate_tree):
+                eff_labels = self._effective_labels(candidate_tree, labels)
                 total = 0.0
                 for model, data in zip(rec_models, shared_data):
                     obj, _, _ = objective(model.params, model.buffers, data["gradients"],
-                                          candidate, labels,
+                                          candidate_tree["data"], eff_labels,
                                           bn_train=bool(getattr(model, "bn_train", False)))
                     total = total + obj
                 return total
 
-            scores = np.asarray(jax.jit(jax.vmap(score_one))(jnp.asarray(best_candidates)))
+            scores = np.asarray(jax.jit(jax.vmap(score_one))(
+                jax.tree_util.tree_map(jnp.asarray, best_trees)))
         elif scoring in ("TV", "total-variation"):
             tv = TotalVariation(scale=1.0)
-            scores = np.asarray(jax.jit(jax.vmap(lambda c: tv(c)))(jnp.asarray(best_candidates)))
+            scores = np.asarray(jax.jit(jax.vmap(lambda t: tv(t["data"])))(
+                jax.tree_util.tree_map(jnp.asarray, best_trees)))
         else:
             raise ValueError(f"Scoring mechanism {scoring} not implemented.")
         return np.where(np.isfinite(scores), scores, np.inf)
 
-    def _select_optimal_reconstruction(self, best_candidates, scores, stats):
+    def _select_optimal_reconstruction(self, best_trees, scores, stats):
         optimal_index = int(np.argmin(scores))
         stats["opt_value"] = float(scores[optimal_index])
+        tree_at = lambda i: jax.tree_util.tree_map(lambda x: jnp.asarray(x[i]), best_trees)
         if np.isfinite(scores[optimal_index]):
             log.info(f"Optimal candidate solution with rec. loss {scores[optimal_index]:2.4f} "
                      f"selected (trial {optimal_index}).")
-            return jnp.asarray(best_candidates[optimal_index])
+            return tree_at(optimal_index)
         log.info("No valid reconstruction could be found.")
-        return jnp.zeros_like(jnp.asarray(best_candidates[0]))
+        return jax.tree_util.tree_map(jnp.zeros_like, tree_at(0))
 
     def _postprocess_text_data(self, reconstructed_data):
         from .auxiliaries.text_utils import postprocess_text_data

@@ -146,6 +146,12 @@ def construct_model(cfg_model, cfg_data, pretrained: bool = False, key=None):
     model = JaxModel(name=name, module=module, params={}, buffers={}, input_example=example)
     model.params, model.buffers = model.init_state(key, example)
 
+    if "vit" in lname:
+        from .vit import vit_april_refs, vit_april_retile
+
+        model.april_refs = vit_april_refs
+        model.april_retile = lambda patches: vit_april_retile(patches, module.patch_size)
+
     if pretrained:
         _maybe_load_pretrained(model, cfg_data)
 
