@@ -46,6 +46,12 @@ class JaxModel:
     modality: str = "vision"
     head_path: tuple = ("head",)
     input_example: Optional[jnp.ndarray] = None
+    # architecture-specific hooks, preserved across dataclasses.replace:
+    bn_train: bool = False
+    rgap_layers: Optional[list] = None       # R-GAP recursion plan (cnn6)
+    april_refs: Optional[Callable] = None    # APRIL pytree accessors (ViT)
+    april_retile: Optional[Callable] = None  # APRIL patch re-tiling (ViT)
+    aux: Optional[dict] = None               # free-form extras (text registries etc.)
 
     def apply(self, params, buffers, inputs, train: bool = False, capture: bool = False):
         variables = {"params": params}
@@ -151,6 +157,13 @@ def construct_model(cfg_model, cfg_data, pretrained: bool = False, key=None):
 
         model.april_refs = vit_april_refs
         model.april_retile = lambda patches: vit_april_retile(patches, module.patch_size)
+
+    if lname == "cnn6":
+        # Recursion plan for the R-GAP attack: alternating conv/leakyrelu stack.
+        model.rgap_layers = [
+            dict(path=(f"conv{i}", "conv"), features=f, kernel=k, stride=s, padding=p, slope=0.2)
+            for i, (f, k, s, p) in enumerate(CNN6.SPECS)
+        ]
 
     if pretrained:
         _maybe_load_pretrained(model, cfg_data)

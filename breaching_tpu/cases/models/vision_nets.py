@@ -88,17 +88,22 @@ class LeNetZhu(nn.Module):
 class CNN6(nn.Module):
     """The 6-layer LeakyReLU CNN attacked by R-GAP (reference: model_preparation.py:364-385).
 
-    Strided 3x3 convolutions without pooling, ending in a linear head — each layer
-    is recursively invertible, which is what the R-GAP attack exploits.
+    Bias-free strided convolutions ending in a linear head. Layer 0 expands the
+    input (12@17x17 from 3@32x32), so each backward least-squares solve is
+    overdetermined — this is what makes the recursion exact.
     """
 
     num_classes: int = 10
 
+    # (features, kernel, stride, padding) per conv layer; shared with the R-GAP plan
+    SPECS = [(12, 4, 2, 2), (36, 3, 2, 1), (36, 3, 1, 1),
+             (36, 3, 1, 1), (64, 3, 2, 1), (128, 3, 1, 1)]
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        specs = [(12, 4), (20, 2), (36, 2), (36, 1), (64, 2), (128, 1)]
-        for idx, (feats, stride) in enumerate(specs):
-            x = Conv(feats, kernel_size=(3, 3), strides=(stride, stride), padding=[(1, 1), (1, 1)],
+        for idx, (feats, k, stride, pad) in enumerate(self.SPECS):
+            x = Conv(feats, kernel_size=(k, k), strides=(stride, stride),
+                     padding=[(pad, pad), (pad, pad)], use_bias=False,
                      name=f"conv{idx}")(x)
             x = nn.leaky_relu(x, 0.2)
         x = x.reshape((x.shape[0], -1))
