@@ -139,8 +139,13 @@ def _feature_space_mse(rec_data, true_data, server_payload, model):
 
         return _find_sown(inter, "features")
 
-    rec_feats = features_of(jnp.asarray(rec_data["data"], jnp.float32))
-    true_feats = features_of(jnp.asarray(true_data["data"], jnp.float32))
+    def as_model_input(x):
+        arr = jnp.asarray(x)
+        # text token ids must stay integral — a float array is read as embeddings
+        return arr if jnp.issubdtype(arr.dtype, jnp.integer) else arr.astype(jnp.float32)
+
+    rec_feats = features_of(as_model_input(rec_data["data"]))
+    true_feats = features_of(as_model_input(true_data["data"]))
     if rec_feats is None or true_feats is None:
         return dict(feat_mse=float("nan"))
     return dict(feat_mse=float(jnp.mean(jnp.square(rec_feats - true_feats))))

@@ -24,7 +24,7 @@ def prepare_attack(model, loss, cfg_attack, setup):
 
         return ImprintAttacker(model, loss, cfg_attack, setup)
     if attack_type == "decepticon-readout":
-        from .analytic_attack import DecepticonAttacker
+        from .decepticon_attack import DecepticonAttacker
 
         return DecepticonAttacker(model, loss, cfg_attack, setup)
     if attack_type == "recursive":

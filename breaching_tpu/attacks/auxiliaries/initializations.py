@@ -11,7 +11,18 @@ import jax.numpy as jnp
 
 
 def init_candidate(key, init_type: str, data_shape, dm=None, ds=None, dtype=jnp.float32):
-    """data_shape: (B, H, W, C). dm/ds: channelwise mean/std arrays for *-true inits."""
+    """data_shape: (B, H, W, C) for vision, (B, T, D) for text embeddings.
+    dm/ds: channelwise mean/std arrays for *-true inits."""
+    if len(data_shape) != 4:  # text embeddings: only the basic schemes apply
+        if init_type == "randn":
+            return jax.random.normal(key, data_shape, dtype)
+        if init_type == "randn-trunc":
+            return jnp.clip(jax.random.normal(key, data_shape, dtype) * 0.1, -0.1, 0.1)
+        if init_type == "rand":
+            return jax.random.uniform(key, data_shape, dtype) * 2 - 1.0
+        if init_type == "zeros":
+            return jnp.zeros(data_shape, dtype)
+        raise ValueError(f"Initialization {init_type} undefined for shape {data_shape}.")
     B, H, W, C = data_shape
     if init_type == "randn":
         return jax.random.normal(key, data_shape, dtype)

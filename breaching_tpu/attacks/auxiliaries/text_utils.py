@@ -1,0 +1,228 @@
+"""Text-attack utilities: embedding-space strategy, token recovery, postprocessing.
+
+TPU-native counterpart of reference breaching/attacks/base_attack.py text paths
+(_prepare_for_text_data:76-122, _postprocess_text_data:124-167,
+recover_token_information:477-662). In the functional design, the 'run-embedding'
+strategy needs no Embedding->Identity surgery: models accept float embeddings
+directly, and the embedding-table gradient is simply *zeroed in the matching
+target* (the candidate's simulated gradient is zero there too, so the pair drops
+out of every distance, exactly like the reference's list-popping).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def _fetch(tree, path):
+    node = tree
+    for key in path:
+        node = node[key]
+    return node
+
+
+def _zero_at(tree, path):
+    import copy
+
+    out = copy.copy(tree) if isinstance(tree, dict) else tree
+    node = out
+    for key in path[:-1]:
+        node[key] = copy.copy(node[key])
+        node = node[key]
+    node[path[-1]] = jnp.zeros_like(node[path[-1]])
+    return out
+
+
+def prepare_text_attack(attacker, shared_data, rec_models):
+    """Set up the 'run-embedding' strategy: candidate lives in embedding space
+    [T, D]; the embedding table's own gradient is excluded from matching."""
+    strategy = attacker.cfg.get("text_strategy", "run-embedding")
+    if strategy == "no-preprocessing":
+        return shared_data
+    if strategy != "run-embedding":
+        raise ValueError(f"Invalid text strategy {strategy} given.")
+
+    attacker.embeddings = []
+    for model, data in zip(rec_models, shared_data):
+        emb_path = model.aux["registry"]["embedding"]
+        weight = _fetch(model.params, emb_path)
+        grads = _fetch(data["gradients"], emb_path)
+        attacker.embeddings.append(dict(weight=weight, grads=grads))
+        data["gradients"] = _zero_at(data["gradients"], emb_path)
+        tied = model.head_path == emb_path
+        if tied:
+            # With tied weights the decoder gradient lives in the same tensor;
+            # zeroing it would erase the matching signal of the decoder. The
+            # reference pops the tensor entirely in this case too.
+            pass
+    seq_len = attacker.data_shape[0]
+    token_dim = attacker.embeddings[0]["weight"].shape[1]
+    attacker.data_shape = (seq_len, token_dim)
+    return shared_data
+
+
+def postprocess_text_data(attacker, reconstructed_data, models=None):
+    """Map recovered embeddings back to token ids by max cosine similarity
+    (reference: _postprocess_text_data:124-167)."""
+    token_recovery = attacker.cfg.get("token_recovery", "from-embedding")
+    if hasattr(attacker, "embeddings") and attacker.embeddings:
+        embedding_weight = attacker.embeddings[0]["weight"]
+    elif models is not None:
+        embedding_weight = _fetch(models[0].params, models[0].aux["registry"]["embedding"])
+    else:
+        return reconstructed_data
+
+    if token_recovery == "from-labels":
+        reconstructed_data["data"] = reconstructed_data["labels"]
+        return reconstructed_data
+
+    rec = jnp.asarray(reconstructed_data["data"])
+    base_shape = rec.shape[:2]
+    rec_flat = rec.reshape(-1, rec.shape[-1])
+
+    if token_recovery == "from-limited-embedding" and reconstructed_data.get("labels") is not None:
+        active_ids = jnp.unique(jnp.asarray(reconstructed_data["labels"]).reshape(-1))
+        table = jnp.asarray(embedding_weight)[active_ids]
+        matches = _max_cosine_similarity(rec_flat, table)
+        tokens = active_ids[matches].reshape(base_shape)
+    else:  # from-embedding
+        tokens = _max_cosine_similarity(rec_flat, jnp.asarray(embedding_weight)).reshape(base_shape)
+
+    reconstructed_data["data"] = tokens
+    return reconstructed_data
+
+
+def _max_cosine_similarity(rec, table):
+    """Centered cosine-similarity argmax, computed on-device as one matmul
+    (the reference loops this on CPU; here the (positions x vocab) similarity
+    matrix rides the MXU)."""
+    rec = rec - rec.mean(axis=-1, keepdims=True)
+    table = table - table.mean(axis=-1, keepdims=True)
+    rec = rec / (jnp.linalg.norm(rec, axis=-1, keepdims=True) + 1e-12)
+    table = table / (jnp.linalg.norm(table, axis=-1, keepdims=True) + 1e-12)
+    return jnp.argmax(rec @ table.T, axis=1)
+
+
+def match_embeddings_to_tokens(model, embeddings):
+    """Nearest-vocabulary lookup for imprint text readout."""
+    table = _fetch(model.params, model.aux["registry"]["embedding"])
+    flat = jnp.asarray(embeddings).reshape(-1, embeddings.shape[-1])
+    return _max_cosine_similarity(flat, jnp.asarray(table)).reshape(embeddings.shape[:-1])
+
+
+def recover_token_information(attacker, user_data, server_payload, model):
+    """Token (bag-of-words) recovery from embedding/decoder gradients
+    (reference: recover_token_information:477-662). Host-side numpy: the arrays
+    are [vocab]-sized and the selection loops are inherently sequential."""
+    strategy = attacker.cfg.get("token_strategy", "decoder-bias")
+    if strategy is None:
+        return None
+    registry = model.aux["registry"]
+    num_data_points = int(user_data[0]["metadata"]["num_data_points"] or 1)
+    seq_len = int(server_payload[0]["metadata"].shape[0])
+    num_missing = num_data_points * seq_len
+    token_cutoff = float(attacker.cfg.get("token_cutoff", 3.5) or 3.5)
+
+    wte = np.mean([np.asarray(_fetch(d["gradients"], registry["embedding"])) for d in user_data], axis=0)
+    wte_norm = np.linalg.norm(wte, axis=1)
+    bias_path = registry.get("decoder_bias")
+    avg_bias = None
+    if bias_path is not None:
+        try:
+            avg_bias = np.mean([np.asarray(_fetch(d["gradients"], bias_path)) for d in user_data], axis=0)
+        except (KeyError, TypeError):
+            avg_bias = None
+
+    def classes_from_norm(cutoff_factor):
+        with np.errstate(divide="ignore"):
+            log_norm = np.log(wte_norm)
+        finite = np.isfinite(log_norm)
+        mean, std = log_norm[finite].mean(), log_norm[finite].std()
+        valid = np.array([], np.int64)
+        while len(valid) == 0:
+            cutoff = mean + cutoff_factor * std
+            if not np.isfinite(cutoff):  # untied weights: exact sparsity
+                valid = np.nonzero(wte_norm)[0]
+            else:
+                valid = np.nonzero(log_norm > cutoff)[0]
+            cutoff_factor *= 0.8
+        return valid
+
+    tokens: list[int] = []
+    if strategy == "decoder-bias":
+        if avg_bias is None:
+            raise ValueError("Cannot use decoder-bias token recovery without a decoder bias.")
+        bias = avg_bias.copy()
+        valid = np.nonzero(bias < 0)[0]
+        if len(valid) > num_missing:
+            valid = np.argsort(bias)[: num_missing - 1]
+        tokens = valid.tolist()
+        for token in classes_from_norm(token_cutoff):
+            if token not in tokens:
+                tokens.append(int(token))
+        m_impact = bias[valid].sum() / num_missing
+        bias[valid] -= m_impact
+        while len(tokens) < num_missing:
+            idx = int(np.argmin(bias))
+            tokens.append(idx)
+            bias[idx] -= m_impact
+    elif strategy in ("embedding-norm", "embedding-log"):
+        norm = wte_norm.copy()
+        valid = classes_from_norm(token_cutoff)
+        if len(valid) > num_missing:
+            valid = np.argsort(-norm)[:num_missing]
+        tokens = valid.tolist()
+        if strategy == "embedding-norm":
+            m_impact = norm[valid].sum() / num_missing
+            norm[valid] -= m_impact
+            while len(tokens) < num_missing:
+                idx = int(valid[np.argmax(norm[valid])])
+                tokens.append(idx)
+                norm[idx] -= m_impact
+        else:
+            with np.errstate(divide="ignore"):
+                log_norm = np.log(np.maximum(norm, 1e-30))
+            m_impact = log_norm[valid].max() / np.sqrt(num_data_points)
+            while len(tokens) < num_missing:
+                idx = int(valid[np.argmax(log_norm[valid])])
+                tokens.append(idx)
+                log_norm[idx] -= m_impact
+    elif strategy == "mixed":
+        if avg_bias is None:
+            raise ValueError("mixed token recovery needs a decoder bias.")
+        bias = avg_bias.copy()
+        valid = classes_from_norm(token_cutoff)
+        tokens = valid.tolist()
+        m_impact = bias[valid].sum() / num_missing
+        bias[valid] -= m_impact
+        while len(tokens) < num_missing:
+            idx = int(valid[np.argmin(bias[valid])])
+            tokens.append(idx)
+            bias[idx] -= m_impact
+    elif strategy == "greedy-embedding":
+        norm = wte_norm.copy()
+        m_impact = norm.sum() / num_missing
+        while len(tokens) < num_missing:
+            idx = int(np.argmax(norm))
+            tokens.append(idx)
+            norm[idx] -= m_impact
+    elif strategy == "greedy-bias":
+        if avg_bias is None:
+            raise ValueError("greedy-bias token recovery needs a decoder bias.")
+        bias = avg_bias.copy()
+        m_impact = bias.sum() / num_missing
+        while len(tokens) < num_missing:
+            idx = int(np.argmin(bias))
+            tokens.append(idx)
+            bias[idx] -= m_impact
+    else:
+        raise ValueError(f"Invalid strategy {strategy} for token recovery before attack.")
+
+    tokens = np.sort(np.asarray(tokens[:num_missing])).reshape(num_data_points, seq_len)
+    log.info(f"Recovered tokens through strategy {strategy}.")
+    return jnp.asarray(tokens)

@@ -57,11 +57,20 @@ class _BaseAttacker:
         shared_data = self._cast_shared_data(shared_data)
         if self.cfg.normalize_gradients:
             shared_data = self._normalize_gradients(shared_data)
+        if self.modality == "text":
+            from .auxiliaries.text_utils import prepare_text_attack
+
+            shared_data = prepare_text_attack(self, shared_data, rec_models)
         self._shared_data_cache = shared_data
 
         labels = shared_data[0]["metadata"]["labels"]
         if labels is None:
-            labels = self._recover_label_information(shared_data, server_payload, rec_models)
+            if self.modality == "text" and self.cfg.get("token_strategy"):
+                from .auxiliaries.text_utils import recover_token_information
+
+                labels = recover_token_information(self, shared_data, server_payload, rec_models[0])
+            else:
+                labels = self._recover_label_information(shared_data, server_payload, rec_models)
         else:
             labels = jnp.asarray(labels)
         return rec_models, labels, stats
@@ -120,6 +129,14 @@ class _BaseAttacker:
     def nhwc_shape(self):
         c, h, w = self.data_shape
         return (h, w, c)
+
+    @property
+    def candidate_shape(self):
+        """Per-example shape of the optimization variable: HWC for vision,
+        (seq, embed_dim) for text in the run-embedding strategy."""
+        if self.modality == "text":
+            return tuple(self.data_shape)
+        return self.nhwc_shape
 
     # ------------------------------------------------------------------ labels
 

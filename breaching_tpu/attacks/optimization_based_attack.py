@@ -102,7 +102,7 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
     def _init_candidate_tree(self, num_points, key, labels):
         """The optimization variable as a pytree. Base attack: just the data."""
-        return dict(data=self._initialize_data((num_points, *self.nhwc_shape), key))
+        return dict(data=self._initialize_data((num_points, *self.candidate_shape), key))
 
     def _effective_labels(self, candidate_tree, labels):
         """Labels fed to the task loss; the joint attack derives them from the tree."""
@@ -194,7 +194,7 @@ class OptimizationBasedAttacker(_BaseAttacker):
         lr_schedule = make_schedule(float(cfg_optim.step_size), cfg_optim.step_size_decay,
                                     int(cfg_optim.warmup or 0), max_iterations)
 
-        boxed = bool(cfg_optim.boxed)
+        boxed = bool(cfg_optim.boxed) and self.modality == "vision"
         langevin = float(cfg_optim.langevin_noise or 0.0)
         grad_clip = cfg_optim.grad_clip
         signed = cfg_optim.signed

@@ -26,9 +26,10 @@ class OptimizationJointAttacker(OptimizationBasedAttacker):
             raise ValueError(
                 "Joint optimization only makes sense if no labels are provided. "
                 "Switch to attack.attack_type=optimization instead.")
-        self._num_classes = server_payload[0]["metadata"].classes
-        self._task = server_payload[0]["metadata"].get("task", "classification")
-        self._vocab_size = server_payload[0]["metadata"].get("vocab_size")
+        metadata = server_payload[0]["metadata"]
+        self._num_classes = metadata.get("classes")
+        self._task = metadata.get("task", "classification")
+        self._vocab_size = metadata.get("vocab_size")
         return super().reconstruct(server_payload, shared_data, server_secrets,
                                    initial_data, dryrun)
 

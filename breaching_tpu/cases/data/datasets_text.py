@@ -1,0 +1,100 @@
+"""Text datasets: tokenized sequences with federated partitions.
+
+Counterpart of reference breaching/cases/data/datasets_text.py. This environment
+has no network egress, so the HF-download-backed corpora (wikitext, stackoverflow,
+shakespeare, cola) fall back to a deterministic *synthetic corpus*: Zipf-distributed
+token sequences with local bigram structure, generated lazily per index. Real data
+is used when a `<path>/<name>_<split>.npz` file with an `input_ids[N, T]` array
+exists on disk. `random-tokens` (reference: datasets_text.py:60-64) is uniform by
+construction.
+
+The partition is "given": each user owns a contiguous range of sequences
+(the reference uses natural article/author splits).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .datasets_vision import _stable_seed
+
+
+class TextDataset:
+    def __init__(self, cfg_data, split: str, indices=None):
+        self.cfg = cfg_data
+        self.name = cfg_data.name
+        self.split = split
+        self.seq_len = int(cfg_data.shape[0])
+        self.vocab_size = int(cfg_data.vocab_size)
+        self.task = cfg_data.task
+        self.mlm_probability = float(cfg_data.get("mlm_probability", 0.15) or 0.15)
+
+        self._raw = self._load_real(cfg_data, split)
+        if self._raw is not None:
+            self._size = len(self._raw)
+        else:
+            self._size = min(int(cfg_data.size), 200_000)
+        self.indices = np.arange(self._size) if indices is None else np.asarray(indices)
+
+    @staticmethod
+    def _load_real(cfg_data, split):
+        path = os.path.expanduser(os.path.join(str(cfg_data.path), f"{cfg_data.name}_{split}.npz"))
+        if os.path.exists(path):
+            return np.load(path)["input_ids"]
+        return None
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx: int):
+        gidx = int(self.indices[idx])
+        if self._raw is not None:
+            ids = self._raw[gidx][: self.seq_len].astype(np.int64)
+        else:
+            ids = self._synthesize(gidx)
+        labels = self._labels_for(ids, gidx)
+        return dict(input_ids=ids, labels=labels)
+
+    def _synthesize(self, gidx: int) -> np.ndarray:
+        rng = np.random.default_rng(_stable_seed(self.name, self.split, gidx))
+        if self.name == "random-tokens":
+            return rng.integers(0, self.vocab_size, self.seq_len, dtype=np.int64)
+        # Zipf-ish unigram with a bigram drift: token_{t+1} is near token_t with
+        # probability 0.3, giving sequences local structure for matching attacks.
+        zipf = rng.zipf(1.3, size=self.seq_len * 3) % self.vocab_size
+        ids = zipf[: self.seq_len].astype(np.int64)
+        for t in range(1, self.seq_len):
+            if rng.uniform() < 0.3:
+                ids[t] = (ids[t - 1] + rng.integers(1, 17)) % self.vocab_size
+        return ids
+
+    def _labels_for(self, ids: np.ndarray, gidx: int) -> np.ndarray:
+        if self.task == "masked-lm" and not self.cfg.get("disable_mlm", False):
+            rng = np.random.default_rng(_stable_seed("mlm", self.name, gidx))
+            labels = np.full_like(ids, -100)
+            mask = rng.uniform(size=len(ids)) < self.mlm_probability
+            labels[mask] = ids[mask]
+            return labels
+        return ids.copy()
+
+    def subset(self, indices):
+        view = TextDataset.__new__(TextDataset)
+        view.__dict__.update(self.__dict__)
+        view.indices = self.indices[np.asarray(indices)]
+        return view
+
+
+def build_text_dataset(cfg_data, user_idx: int, return_full_dataset: bool = False):
+    full = TextDataset(cfg_data, split=cfg_data.examples_from_split)
+    if return_full_dataset:
+        return full
+    num_users = int(cfg_data.default_clients)
+    per_user = max(len(full) // num_users, 1)
+    if user_idx is None:
+        user_idx = 0
+    if user_idx >= num_users or user_idx * per_user >= len(full):
+        raise ValueError(f"user_idx {user_idx} exceeds the {num_users} text users.")
+    indices = np.arange(user_idx * per_user, min((user_idx + 1) * per_user, len(full)))
+    return full.subset(indices)

@@ -1,0 +1,242 @@
+"""Language models: transformer encoder LM, LSTM, linear baseline.
+
+TPU-native counterpart of reference breaching/cases/models/language_models.py
+(TransformerModel:148-200, RNNModel:27-85, LinearModel:11-24,
+PositionalEmbedding:89-130) and the text-model factory in
+model_preparation.py:42-131. Models accept either int token ids [B, T] or float
+embeddings [B, T, D] (the 'run-embedding' attack strategy feeds embeddings
+directly, replacing the reference's Embedding->Identity surgery).
+
+Each constructed model carries a *registry* of pytree paths (aux['registry'])
+naming embedding/positional/attention/FF parameters — the functional counterpart
+of the reference's transformer_dictionary.py attribute walking, consumed by the
+Decepticon server rewiring and readout.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def fixed_positional_encoding(max_len: int, d_model: int) -> np.ndarray:
+    """Sin/cos positional table (reference: PositionalEmbedding:89-130)."""
+    pe = np.zeros((max_len, d_model), np.float32)
+    position = np.arange(max_len)[:, None].astype(np.float32)
+    div_term = np.exp(np.arange(0, d_model, 2).astype(np.float32) * (-math.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term[: pe[:, 1::2].shape[1]])
+    return pe
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer (torch TransformerEncoderLayer semantics:
+    attention -> add&norm -> FF(relu) -> add&norm)."""
+
+    dim: int
+    num_heads: int
+    hidden: int
+    activation: str = "relu"
+    norm_first: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, D = x.shape
+        head_dim = D // self.num_heads
+
+        def attention(h):
+            qkv = nn.Dense(3 * D, name="attn_qkv")(h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            reshape = lambda t: t.reshape(B, T, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            q, k, v = reshape(q), reshape(k), reshape(v)
+            scores = q @ k.transpose(0, 1, 3, 2) / jnp.sqrt(head_dim)
+            out = (jax.nn.softmax(scores, axis=-1) @ v).transpose(0, 2, 1, 3).reshape(B, T, D)
+            return nn.Dense(D, name="attn_out")(out)
+
+        act = nn.relu if self.activation == "relu" else nn.gelu
+
+        def feedforward(h):
+            self.sow("intermediates", "ff_input", h)  # Decepticon calibration probe
+            h = nn.Dense(self.hidden, name="linear1")(h)
+            h = act(h)
+            return nn.Dense(self.dim, name="linear2")(h)
+
+        if self.norm_first:
+            x = x + attention(nn.LayerNorm(name="norm1")(x))
+            x = x + feedforward(nn.LayerNorm(name="norm2")(x))
+        else:
+            x = nn.LayerNorm(name="norm1")(x + attention(x))
+            x = nn.LayerNorm(name="norm2")(x + feedforward(x))
+        return x
+
+
+class TransformerModel(nn.Module):
+    """Encoder-style LM with fixed or learnable positional embeddings and an
+    optionally tied decoder (reference: TransformerModel:148-200)."""
+
+    ntokens: int
+    ninp: int
+    nhead: int
+    nhid: int
+    nlayers: int
+    positional_embedding: str = "fixed"
+    tie_weights: bool = False
+    norm_first: bool = False
+    max_len: int = 1024
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        embedding = self.param(
+            "embedding",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -0.1, 0.1)
+            * math.sqrt(self.ninp),
+            (self.ntokens, self.ninp))
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            h = embedding[x]
+        else:
+            h = x  # 'run-embedding' attack path: embeddings fed directly
+        T = h.shape[1]
+
+        if self.positional_embedding == "fixed":
+            table = fixed_positional_encoding(self.max_len, self.ninp)
+            h = h + jnp.asarray(table)[None, :T, :]
+        else:
+            pos = self.param("pos_embedding", nn.initializers.normal(0.02),
+                             (self.max_len, self.ninp))
+            h = h + pos[None, :T, :]
+
+        for i in range(self.nlayers):
+            h = EncoderLayer(self.ninp, self.nhead, self.nhid,
+                             norm_first=self.norm_first, name=f"layer{i}")(h)
+
+        self.sow("intermediates", "features", h)
+        if self.tie_weights:
+            bias = self.param("decoder_bias", nn.initializers.zeros, (self.ntokens,))
+            return h @ embedding.T + bias
+        return nn.Dense(
+            self.ntokens,
+            kernel_init=lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -0.1, 0.1),
+            name="decoder")(h)
+
+
+class LSTMModel(nn.Module):
+    """Word-level LSTM LM (reference: RNNModel:27-85)."""
+
+    ntokens: int
+    ninp: int = 96
+    nhid: int = 96
+    tie_weights: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        embedding = self.param(
+            "embedding",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -0.1, 0.1),
+            (self.ntokens, self.ninp))
+        h = embedding[x] if jnp.issubdtype(x.dtype, jnp.integer) else x
+        B, T, _ = h.shape
+
+        ScanLSTM = nn.scan(nn.OptimizedLSTMCell, variable_broadcast="params",
+                           split_rngs={"params": False}, in_axes=1, out_axes=1)
+        cell = ScanLSTM(self.nhid, name="lstm")
+        carry = cell.initialize_carry(jax.random.PRNGKey(0), (B, self.ninp))
+        _, outputs = cell(carry, h)
+        self.sow("intermediates", "features", outputs)
+        if self.tie_weights and self.nhid == self.ninp:
+            bias = self.param("decoder_bias", nn.initializers.zeros, (self.ntokens,))
+            return outputs @ embedding.T + bias
+        return nn.Dense(self.ntokens, name="decoder")(outputs)
+
+
+class LinearLM(nn.Module):
+    """Embedding -> linear decoder sanity model (reference: LinearModel:11-24)."""
+
+    ntokens: int
+    ninp: int = 200
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        embedding = self.param("embedding", nn.initializers.normal(0.1),
+                               (self.ntokens, self.ninp))
+        h = embedding[x] if jnp.issubdtype(x.dtype, jnp.integer) else x
+        self.sow("intermediates", "features", h)
+        return nn.Dense(self.ntokens, name="decoder")(h)
+
+
+def _registry(nlayers, positional, tied):
+    """Pytree-path registry (replaces reference transformer_dictionary.py:5-134)."""
+    reg = dict(
+        embedding=("embedding",),
+        pos_embedding=("pos_embedding",) if positional == "learnable" else None,
+        decoder=("decoder",) if not tied else None,
+        decoder_bias=("decoder_bias",) if tied else ("decoder", "bias"),
+        attention_qkv=[(f"layer{i}", "attn_qkv") for i in range(nlayers)],
+        attention_out=[(f"layer{i}", "attn_out") for i in range(nlayers)],
+        ff_first=[(f"layer{i}", "linear1") for i in range(nlayers)],
+        ff_second=[(f"layer{i}", "linear2") for i in range(nlayers)],
+        norms=[(f"layer{i}", n) for i in range(nlayers) for n in ("norm1", "norm2")],
+        nlayers=nlayers,
+    )
+    return reg
+
+
+def construct_text_model(cfg_model, cfg_data, key=None):
+    """Text model factory (reference: model_preparation.py:42-131).
+
+    bert-/gpt2-style names build architecture-equivalent flax transformers
+    (pre-LN causal for gpt2, post-LN bidirectional for bert); pretrained HF
+    checkpoints are not available offline in this environment.
+    """
+    from .losses import LOSSES, CausalLoss
+    from .model_preparation import JaxModel
+
+    name = str(cfg_model)
+    vocab = int(cfg_data.vocab_size)
+    seq = int(cfg_data.shape[0])
+
+    if name == "transformer3f":
+        module = TransformerModel(vocab, 96, 8, 1536, 3, positional_embedding="fixed")
+    elif name == "transformer3":
+        module = TransformerModel(vocab, 96, 8, 1536, 3, positional_embedding="learnable")
+    elif name == "transformer3t":
+        module = TransformerModel(vocab, 96, 8, 1536, 3, positional_embedding="learnable",
+                                  tie_weights=True)
+    elif name == "transformer1":
+        module = TransformerModel(vocab, 200, 1, 200, 1)
+    elif name == "transformerS":
+        module = TransformerModel(vocab, 512, 1, 512, 1)
+    elif name == "LSTM":
+        module = LSTMModel(vocab)
+    elif name == "linear":
+        module = LinearLM(vocab)
+    elif "gpt2" in name.lower():
+        module = TransformerModel(vocab, 768, 12, 3072, 12, positional_embedding="learnable",
+                                  norm_first=True, tie_weights=True)
+    elif "bert" in name.lower():
+        module = TransformerModel(vocab, 768, 12, 3072, 12, positional_embedding="learnable")
+    else:
+        raise ValueError(f"Unknown text model {cfg_model}.")
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    example = jnp.zeros((1, seq), jnp.int32)
+    model = JaxModel(name=name, module=module, params={}, buffers={},
+                     modality="text", head_path=("decoder",), input_example=example)
+    model.params, model.buffers = model.init_state(key, example)
+    tied = isinstance(module, TransformerModel) and module.tie_weights
+    if isinstance(module, TransformerModel):
+        model.aux = dict(registry=_registry(module.nlayers, module.positional_embedding, tied),
+                         ninp=module.ninp, nhid=module.nhid)
+        if tied:
+            model.head_path = ("embedding",)  # decoder == embedding weights
+    else:
+        model.aux = dict(registry=dict(embedding=("embedding",),
+                                       decoder_bias=("decoder", "bias")))
+
+    loss_cls = LOSSES.get(getattr(cfg_data, "task", "causal-lm"), CausalLoss)
+    return model, loss_cls()

@@ -86,6 +86,10 @@ class JaxModel:
         node = grads
         for key in self.head_path:
             node = node[key]
+        if not isinstance(node, dict):
+            # tied-decoder text model: the head weight IS the embedding (vocab, dim),
+            # already in (out, in) convention; its bias is a separate parameter.
+            return node, grads["decoder_bias"]
         if "kernel" not in node:  # wrapped Dense submodule
             node = node["dense"]
         return jnp.transpose(node["kernel"]), node["bias"]

@@ -34,7 +34,7 @@ def construct_server(model, loss_fn, cfg_case, setup, external_dataloader=None):
         from .malicious.servers import MaliciousModelServer
 
         return MaliciousModelServer(model, loss_fn, cfg_case, setup, external_dataloader)
-    if name == "malicious_transformer":
+    if name in ("malicious_transformer", "malicious_transformer_parameters"):
         from .malicious.servers import MaliciousTransformerServer
 
         return MaliciousTransformerServer(model, loss_fn, cfg_case, setup, external_dataloader)
