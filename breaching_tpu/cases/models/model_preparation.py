@@ -124,8 +124,41 @@ def construct_model(cfg_model, cfg_data, pretrained: bool = False, key=None):
     name = str(cfg_model)
     lname = name.lower()
 
-    if "resnet" in lname:
+    if "resnet" in lname and "wsl" not in lname and "swsl" not in lname \
+            and "ssl" not in lname and "moco" not in lname:
         module = build_resnet(name, channels, classes, is_imagenet_data="ImageNet" in cfg_data.name)
+    elif any(tag in lname for tag in ("wsl", "swsl", "ssl", "moco")):
+        # reference loads WSL/SWSL/MoCo pretrained resnets from torch.hub
+        # (model_preparation.py:193-214); offline, these map to the matching
+        # ResNet architecture (resnext group-width variations are approximated).
+        depth = "101" if "101" in lname else "50"
+        module = build_resnet(f"resnet{depth}", channels, classes, is_imagenet_data=True)
+    elif "densenet" in lname:
+        from .densenets import DenseNet, densenet_depths_to_config
+
+        growth, blocks, init_feats = densenet_depths_to_config(
+            int("".join(filter(str.isdigit, lname))))
+        module = DenseNet(growth_rate=growth, block_config=blocks,
+                          num_init_features=init_feats, num_classes=classes,
+                          stem="ImageNet" if "ImageNet" in cfg_data.name else "CIFAR")
+    elif "vgg" in lname:
+        from .vgg import VGG
+
+        module = VGG(plan_name=name, num_classes=classes,
+                     head="ImageNet" if "ImageNet" in cfg_data.name else "CIFAR")
+    elif "nfnet" in lname:
+        from .nfnets import NFNet
+
+        module = NFNet(num_classes=classes,
+                       stem="ImageNet" if "ImageNet" in cfg_data.name else "CIFAR")
+    elif lname == "convnet-trivial":
+        from .vision_nets import ConvNetTrivial
+
+        module = ConvNetTrivial(num_classes=classes)
+    elif lname == "convnet_beyond":
+        from .vision_nets import ConvNetBeyond
+
+        module = ConvNetBeyond(num_classes=classes)
     elif lname == "convnetsmall":
         module = ConvNetSmall(width=256, num_classes=classes)
     elif lname.startswith("convnetsmall"):  # convnetsmall16 etc: width-parameterized

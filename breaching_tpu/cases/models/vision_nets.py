@@ -111,6 +111,39 @@ class CNN6(nn.Module):
         return Dense(self.num_classes, name="head")(x)
 
 
+class ConvNetBeyond(nn.Module):
+    """LeakyReLU conv stack with wide FC head and softmax outputs, from Wang et
+    al. "Beyond Inferring Class Representatives" (reference: model_preparation.py:342-361)."""
+
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for feats, stride in [(32, 2), (64, 1), (128, 2), (256, 1)]:
+            x = Conv(feats, strides=(stride, stride), padding=[(1, 1), (1, 1)],
+                     name=f"conv{feats}")(x)
+            x = nn.leaky_relu(x, 0.01)
+        x = x.reshape((x.shape[0], -1))
+        width = x.shape[-1]
+        x = nn.leaky_relu(Dense(width, name="linear0")(x), 0.01)
+        self.sow("intermediates", "features", x)
+        logits = Dense(self.num_classes, name="head")(x)
+        return jax.nn.softmax(logits, axis=1)
+
+
+class ConvNetTrivial(nn.Module):
+    """Single wide conv + pool + head (reference: model_preparation.py:326-340)."""
+
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.relu(Conv(3072, padding=[(1, 1), (1, 1)], name="conv")(x))
+        x = avg_pool_global(x)
+        self.sow("intermediates", "features", x)
+        return Dense(self.num_classes, name="head")(x)
+
+
 class MLP(nn.Module):
     """Simple ReLU MLP (reference: model_preparation.py:386-401)."""
 

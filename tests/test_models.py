@@ -20,6 +20,8 @@ def _data_cfg(name="CIFAR10", classes=10, shape=(3, 32, 32)):
 @pytest.mark.parametrize("name,expected_buffers", [
     ("ConvNet", True), ("ConvNetSmall", False), ("lenet_zhu", False),
     ("MLP", False), ("linear", False), ("cnn6", False), ("resnet20", True),
+    ("densenet121", True), ("VGG11", True), ("nfnet_f0", False),
+    ("convnet_beyond", False), ("convnet-trivial", False), ("resnetgn20", False),
 ])
 def test_forward_shapes(name, expected_buffers):
     model, loss_fn = construct_model(name, _data_cfg(), key=jax.random.PRNGKey(0))
