@@ -128,7 +128,14 @@ def recover_token_information(attacker, user_data, server_payload, model):
     num_missing = num_data_points * seq_len
     token_cutoff = float(attacker.cfg.get("token_cutoff", 3.5) or 3.5)
 
-    wte = np.mean([np.asarray(_fetch(d["gradients"], registry["embedding"])) for d in user_data], axis=0)
+    # The run-embedding strategy zeroes the embedding-grad leaf in the matching
+    # target; the original gradients live on attacker.embeddings — use those.
+    saved = getattr(attacker, "embeddings", None)
+    if saved:
+        wte = np.mean([np.asarray(e["grads"]) for e in saved], axis=0)
+    else:
+        wte = np.mean([np.asarray(_fetch(d["gradients"], registry["embedding"]))
+                       for d in user_data], axis=0)
     wte_norm = np.linalg.norm(wte, axis=1)
     bias_path = registry.get("decoder_bias")
     avg_bias = None
@@ -139,17 +146,21 @@ def recover_token_information(attacker, user_data, server_payload, model):
             avg_bias = None
 
     def classes_from_norm(cutoff_factor):
+        if not np.any(wte_norm):
+            return np.array([], np.int64)  # no embedding signal at all
         with np.errstate(divide="ignore"):
             log_norm = np.log(wte_norm)
         finite = np.isfinite(log_norm)
         mean, std = log_norm[finite].mean(), log_norm[finite].std()
         valid = np.array([], np.int64)
-        while len(valid) == 0:
+        for _ in range(64):  # the reference loops unboundedly; cap it
             cutoff = mean + cutoff_factor * std
             if not np.isfinite(cutoff):  # untied weights: exact sparsity
                 valid = np.nonzero(wte_norm)[0]
             else:
                 valid = np.nonzero(log_norm > cutoff)[0]
+            if len(valid):
+                break
             cutoff_factor *= 0.8
         return valid
 

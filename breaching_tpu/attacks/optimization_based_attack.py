@@ -109,6 +109,8 @@ class OptimizationBasedAttacker(_BaseAttacker):
         return labels
 
     def _project_tree(self, candidate_tree, min_box, max_box):
+        if self.modality != "vision":
+            return candidate_tree  # no pixel box for text embeddings
         out = dict(candidate_tree)
         out["data"] = jnp.clip(candidate_tree["data"], min_box, max_box)
         return out
@@ -194,7 +196,7 @@ class OptimizationBasedAttacker(_BaseAttacker):
         lr_schedule = make_schedule(float(cfg_optim.step_size), cfg_optim.step_size_decay,
                                     int(cfg_optim.warmup or 0), max_iterations)
 
-        boxed = bool(cfg_optim.boxed) and self.modality == "vision"
+        boxed = bool(cfg_optim.boxed)
         langevin = float(cfg_optim.langevin_noise or 0.0)
         grad_clip = cfg_optim.grad_clip
         signed = cfg_optim.signed
@@ -272,15 +274,38 @@ class OptimizationBasedAttacker(_BaseAttacker):
         trial_keys = jax.random.split(noise_key, num_trials)
         carry = (candidates, opt_state, best, best_val, trial_keys)
 
+        # --- attack-state checkpointing (resume a preempted 24k-iteration run) ---
+        ckpt_path = self.cfg.impl.get("checkpoint_path")
+        ckpt_every = int(self.cfg.impl.get("checkpoint_every", 0) or 0)
+        iteration = 0
+        if ckpt_path:
+            from ..utils_checkpoint import load_attack_state
+
+            restored = load_attack_state(ckpt_path, carry)
+            if restored is not None:
+                carry, iteration = restored
+
+        # --- profiler hook: trace the first post-compile chunk ---
+        trace_dir = self.cfg.impl.get("trace_dir")
+        traced = False
+
         for t in range(num_trials):
             stats.setdefault(f"Trial_{t}_Val", [])
         stats.setdefault("chunk_iters", [])
         stats.setdefault("chunk_time", [])
         current_wallclock = time.time()
-        iteration = 0
         while iteration < max_iterations:
             length = min(callback, max_iterations - iteration)
-            carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration), length)
+            if trace_dir and not traced and stats["chunk_iters"]:
+                from jax import profiler as jax_profiler
+
+                with jax_profiler.trace(str(trace_dir)):
+                    carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration), length)
+                    jax.block_until_ready(values)
+                traced = True
+                log.info(f"Saved profiler trace of one attack chunk to {trace_dir}.")
+            else:
+                carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration), length)
             values = np.asarray(values)       # [trials, chunk] — blocks until chunk done
             task_losses = np.asarray(task_losses)
             iteration += length
@@ -295,6 +320,10 @@ class OptimizationBasedAttacker(_BaseAttacker):
                 f"Task loss: {task_losses[:, -1].mean():2.4f} | T: {elapsed:4.2f}s | "
                 f"{num_trials * length / max(elapsed, 1e-9):,.1f} it/s")
             current_wallclock = timestamp
+            if ckpt_path and ckpt_every and len(stats["chunk_iters"]) % ckpt_every == 0:
+                from ..utils_checkpoint import save_attack_state
+
+                save_attack_state(ckpt_path, carry, iteration)
             if not np.isfinite(values[:, -1]).any():
                 log.info(f"Recovery loss is non-finite in iteration {iteration}. "
                          f"Cancelling reconstruction!")
