@@ -152,40 +152,235 @@ class MaliciousClassParameterServer(HonestServer):
     def reset_model(self):
         self.model.params = jax.tree_util.tree_map(jnp.asarray, self.original_params)
 
-    def run_protocol(self, user):
-        """Interactive protocol: query for labels, then re-poison the classifier
-        head per query to isolate a single target class/feature
-        (reference: run_protocol 548-682, one_shot_binary_attack 716-739)."""
-        cfg = self.cfg_server
-        # Query 1: honest-looking query to recover labels from.
-        payload = self.distribute_payload(query_id=0)
-        shared, true_user_data = user.compute_local_updates(payload)
-        w_grad, b_grad = self.model.head_grads(shared["gradients"])
-        num_data = shared["metadata"]["num_data_points"] or 1
-        t_labels = np.asarray(self._recover_labels(b_grad, num_data))
-        log.info(f"Recovered labels {t_labels.tolist()} from first query.")
+    # -------------------------------------------------------------- head edits
 
-        target_cls = int(np.bincount(t_labels).argmax()) if len(t_labels) else 0
+    def _edit_head(self, fn):
+        """Apply fn(kernel (in,out), bias) -> (kernel, bias) to a fresh copy of
+        the original head parameters, then install them."""
+        params = jax.tree_util.tree_map(jnp.asarray, self.original_params)
+        node = params
+        for key in self.model.head_path:
+            node = node[key]
+        if "kernel" not in node:
+            node = node["dense"]
+        node["kernel"], node["bias"] = fn(node["kernel"], node["bias"])
+        self.model.params = params
+
+    def reconfigure_for_class_attack(self, target_classes=None):
+        """Constant-weight rows for the target classes, huge bias elsewhere
+        (reference: servers.py:853-870)."""
+        from .classattack_utils import wrap_indices
+
+        cfg = self.cfg_server
+        targets = wrap_indices(cfg.target_cls_idx if target_classes is None else target_classes)
+
+        def fn(kernel, bias):
+            masked_w = jnp.zeros_like(kernel)
+            masked_w = masked_w.at[:, jnp.asarray(targets)].set(float(cfg.class_multiplier))
+            masked_b = jnp.full_like(bias, float(cfg.bias_multiplier))
+            masked_b = masked_b.at[jnp.asarray(targets)].set(bias[jnp.asarray(targets)])
+            return masked_w, masked_b
+
+        self._edit_head(fn)
+
+    def reconfigure_for_feature_attack(self, feature_val, feature_loc,
+                                       target_classes=None, allow_reset_param_weights=False):
+        """One weight at (feature, class), bias cutoff at -feature_val
+        (reference: servers.py:872-895)."""
+        from .classattack_utils import wrap_indices
+
+        cfg = self.cfg_server
+        targets = wrap_indices(cfg.target_cls_idx if target_classes is None else target_classes)
+        locs = wrap_indices(feature_loc)
+        mult = 1.0 if (allow_reset_param_weights and cfg.get("reset_param_weights")) \
+            else float(cfg.feat_multiplier)
+
+        def fn(kernel, bias):
+            masked_w = jnp.zeros_like(kernel)
+            for cls in targets:
+                masked_w = masked_w.at[jnp.asarray(locs), cls].set(mult)
+            masked_b = jnp.full_like(bias, float(cfg.bias_multiplier))
+            masked_b = masked_b.at[jnp.asarray(targets)].set(
+                -float(feature_val) * float(cfg.feat_multiplier))
+            return masked_w, masked_b
+
+        self._edit_head(fn)
+
+    # -------------------------------------------------------------- protocols
+
+    def run_protocol(self, user, additional_users=None, run_honest_protocol=False):
+        if run_honest_protocol:
+            return super().run_protocol(user)
+        if additional_users is not None:
+            return self.run_protocol_feature_estimation(user, additional_users)
+        return self.run_protocol_binary_attack(user)
+
+    def run_protocol_binary_attack(self, user):
+        """Class attack, escalating to a feature binary search under collisions
+        (reference: run_protocol_binary_attack, servers.py:558-682)."""
+        from .classattack_utils import reconstruct_feature
+
+        cfg = self.cfg_server
+        server_payload = self.distribute_payload()
+        if cfg.query_once_for_labels:
+            shared_data, true_user_data = user.compute_local_updates(server_payload)
+            if shared_data["metadata"]["labels"] is not None:
+                t_labels = np.asarray(shared_data["metadata"]["labels"]).reshape(-1)
+            else:
+                _, b_grad = self.model.head_grads(shared_data["gradients"])
+                t_labels = self._recover_labels(
+                    b_grad, int(shared_data["metadata"]["num_data_points"] or 1))
+            log.info(f"Found labels {t_labels.tolist()} in first query.")
+        else:
+            t_labels = np.random.default_rng(0).choice(
+                np.arange(self.cfg_data.classes), user.num_data_points)
+            shared_data, true_user_data = user.compute_local_updates(server_payload)
+            log.info(f"Randomly attacking labels {t_labels.tolist()}.")
+
+        num_data = int(shared_data["metadata"]["num_data_points"] or len(t_labels))
+        target_cls = int(np.unique(t_labels)[int(cfg.target_cls_idx)])
         target_indx = np.nonzero(t_labels == target_cls)[0]
 
-        # Class attack: reweight the head so only the target class produces signal.
-        self.reconfigure_for_class_attack(target_cls)
-        payload = self.distribute_payload(query_id=1)
-        shared, _ = user.compute_local_updates(payload)
-        shared_data, payloads = [shared], [payload]
+        if cfg.get("opt_on_avg_grad"):
+            self.reconfigure_for_class_attack(target_classes=list(np.unique(t_labels)))
+            payload = self.distribute_payload()
+            shared, _ = user.compute_local_updates(payload)
+            final_shared, final_payload = [shared], [payload]
+        elif len(target_indx) == 1:
+            log.info(f"Attacking label {target_cls} with cls attack.")
+            self.reconfigure_for_class_attack(target_classes=target_cls)
+            payload = self.distribute_payload()
+            shared, _ = user.compute_local_updates(payload)
+            shared["metadata"] = dict(shared["metadata"],
+                                      num_data_points=1,
+                                      labels=jnp.asarray([target_cls]))
+            final_shared, final_payload = [shared], [payload]
+            self.secrets["ClassAttack"] = dict(
+                num_data=1, target_indx=target_indx, true_num_data=num_data,
+                all_labels=jnp.asarray(t_labels))
+        else:
+            log.info(f"Attacking label {target_cls} with binary attack "
+                     f"({len(target_indx)} collisions).")
+            self.reconfigure_for_class_attack(target_classes=target_cls)
+            payload = self.distribute_payload()
+            tmp_shared, _ = user.compute_local_updates(payload)
+            avg_feature = np.asarray(
+                reconstruct_feature(tmp_shared, target_cls, self.model)).reshape(-1)
 
-        if bool(cfg.get("one_shot_binary_attack", False)) and len(target_indx) > 1:
-            shared_data, payloads = self._binary_attack_on_feature(
-                user, target_cls, len(target_indx))
+            feature_loc = int(np.argmax(avg_feature))
+            attack_state = dict(feature_loc=feature_loc,
+                                feature_val=float(avg_feature[feature_loc]),
+                                num_target_data=len(target_indx),
+                                num_data_points=num_data)
+            single_grads = self.one_shot_binary_attack(user, target_cls, attack_state)
 
-        self.secrets["ClassAttack"] = dict(
-            num_data=len(target_indx),
-            target_indx=target_indx,
-            true_num_data=num_data,
-            all_labels=jnp.asarray(t_labels),
-        )
+            self.reconfigure_for_feature_attack(
+                attack_state["feature_val"], feature_loc, target_classes=target_cls,
+                allow_reset_param_weights=True)
+            payload = self.distribute_payload()
+
+            grad_i = list(reversed(single_grads))[int(cfg.grad_idx)]
+            shared = dict(gradients=grad_i, buffers=tmp_shared["buffers"],
+                          metadata=dict(tmp_shared["metadata"],
+                                        num_data_points=1,
+                                        labels=jnp.asarray([target_cls])))
+            final_shared, final_payload = [shared], [payload]
+            self.secrets["ClassAttack"] = dict(
+                num_data=1, target_indx=target_indx[int(cfg.grad_idx):int(cfg.grad_idx) + 1],
+                true_num_data=num_data, all_labels=jnp.asarray(t_labels))
+
+        log.info(f"User {user.user_idx} was queried {user.counted_queries} times.")
         self.reset_model()
-        return shared_data, payloads, true_user_data
+        return final_shared, final_payload, true_user_data
+
+    def one_shot_binary_attack(self, user, cls_to_obtain, attack_state):
+        """Fixpoint iteration on the feature cutoff until only the largest-feature
+        datapoint contributes (reference: servers.py:716-739)."""
+        from .classattack_utils import check_with_tolerance, reconstruct_feature
+
+        cfg = self.cfg_server
+        feature_loc = attack_state["feature_loc"]
+        feature_val = attack_state["feature_val"]
+        num_data_points = attack_state["num_data_points"]
+        all_vals = []
+        for _ in range(32):
+            all_vals.append(feature_val)
+            self.reconfigure_for_feature_attack(feature_val, feature_loc,
+                                                target_classes=cls_to_obtain)
+            payload = self.distribute_payload()
+            shared, _ = user.compute_local_updates(payload)
+            avg_feature = np.asarray(
+                reconstruct_feature(shared, cls_to_obtain, self.model)).reshape(-1)
+            feature_val = float(avg_feature[feature_loc])
+            if check_with_tolerance(feature_val, all_vals,
+                                    threshold=float(cfg.feat_threshold)):
+                break
+        attack_state["feature_val"] = feature_val
+        # rescale the averaged gradient back to a single-example gradient
+        grads = shared["gradients"]
+        head = self.model.head_path
+
+        def rescale(path, leaf):
+            keys = tuple(str(getattr(k, "key", k)) for k in path)
+            if keys[: len(head)] == tuple(head) and keys[-1] == "bias":
+                return leaf * num_data_points
+            return leaf * num_data_points / float(cfg.feat_multiplier)
+
+        grads = jax.tree_util.tree_map_with_path(rescale, grads)
+        return [grads]
+
+    def estimate_feat(self, additional_users, target_class=None):
+        """Collect target-class features across users (reference: servers.py:828-851)."""
+        from .classattack_utils import reconstruct_feature
+
+        target_class = int(self.cfg_server.target_cls_idx if target_class is None
+                           else target_class)
+        est_features, sample_sizes = [], []
+        for user in additional_users:
+            payload = self.distribute_payload()
+            shared, _ = user.compute_local_updates(payload)
+            labels = np.asarray(shared["metadata"]["labels"]).reshape(-1) \
+                if shared["metadata"]["labels"] is not None else np.asarray([])
+            num_target = int((labels == target_class).sum())
+            if num_target:
+                est_features.append(np.asarray(
+                    reconstruct_feature(shared, target_class, self.model)).reshape(-1))
+                sample_sizes.append(num_target)
+        if not est_features:
+            raise ValueError(
+                f"These additional users do not own images from class {target_class}.")
+        return np.vstack(est_features).T, np.asarray(sample_sizes)
+
+    def run_protocol_feature_estimation(self, target_user, additional_users):
+        """Estimate the feature distribution on other users, then cut the target
+        (reference: servers.py:684-714)."""
+        from scipy import stats as scipy_stats
+
+        from .classattack_utils import estimate_gt_stats, find_best_feat
+
+        cfg = self.cfg_server
+        log.info(f"Estimating feature distribution from {len(additional_users)} users.")
+        self.reconfigure_for_class_attack()
+        est_features, est_sizes = self.estimate_feat(additional_users)
+        feature_loc = find_best_feat(est_features, est_sizes, method="kstest")
+        est_mean, est_std = estimate_gt_stats(est_features, est_sizes, indx=feature_loc)
+
+        expected_points = float(np.sum(est_sizes)) / len(additional_users)
+        if expected_points == 1:
+            feature_val = float(cfg.class_multiplier)
+        else:
+            quantile = 1 / expected_points * float(cfg.reweight_collisions)
+            feature_val = float(scipy_stats.norm.ppf(quantile, est_mean, max(est_std, 1e-8)))
+        log.info(f"Feature {feature_loc}: mu={est_mean:2.4f}, std={est_std:2.4f}, "
+                 f"cutoff {feature_val:2.4f} for {expected_points} expected points.")
+
+        self.reconfigure_for_feature_attack(feature_val, feature_loc)
+        payload = self.distribute_payload()
+        shared, true_user_data = target_user.compute_local_updates(payload)
+        self.reconfigure_for_feature_attack(feature_val, feature_loc,
+                                            allow_reset_param_weights=True)
+        true_user_data["distribution"] = est_features[feature_loc]
+        return [shared], [payload], true_user_data
 
     def _recover_labels(self, bias_grad, num_data):
         bias = np.asarray(bias_grad).copy()
@@ -197,61 +392,4 @@ class MaliciousClassParameterServer(HonestServer):
             idx = int(np.argmin(bias))
             selected.append(idx)
             bias[idx] -= m_impact
-        return jnp.sort(jnp.asarray(selected[:num_data]))
-
-    def reconfigure_for_class_attack(self, target_cls: int):
-        """Zero all head rows except the target class, scaled by class_multiplier
-        (reference: reconfigure_for_class_attack, servers.py:853-870)."""
-        cfg = self.cfg_server
-        params = jax.tree_util.tree_map(jnp.asarray, self.original_params)
-        node = params
-        for key in self.model.head_path:
-            node = node[key]
-        if "kernel" not in node:
-            node = node["dense"]
-        kernel = node["kernel"]  # (in, out)
-        mask = jnp.zeros((kernel.shape[1],)).at[target_cls].set(1.0)
-        node["kernel"] = kernel * mask[None, :] * float(cfg.get("class_multiplier", 0.5))
-        node["bias"] = node["bias"] * mask
-        self.model.params = params
-
-    def reconfigure_for_feature_attack(self, target_cls: int, feature_idx: int,
-                                       feature_val: float):
-        """Bias the head so only examples whose feature exceeds feature_val
-        produce gradient signal (reference: servers.py:872-895)."""
-        cfg = self.cfg_server
-        params = jax.tree_util.tree_map(jnp.asarray, self.original_params)
-        node = params
-        for key in self.model.head_path:
-            node = node[key]
-        if "kernel" not in node:
-            node = node["dense"]
-        kernel = jnp.zeros_like(node["kernel"])
-        kernel = kernel.at[feature_idx, target_cls].set(float(cfg.get("feat_multiplier", 300)))
-        node["kernel"] = kernel
-        bias = jnp.zeros_like(node["bias"])
-        bias = bias.at[target_cls].set(-float(cfg.get("feat_multiplier", 300)) * feature_val)
-        node["bias"] = bias
-        self.model.params = params
-
-    def _binary_attack_on_feature(self, user, target_cls: int, num_collisions: int):
-        """Binary search over a feature value until exactly one example remains
-        (reference: one_shot_binary_attack, servers.py:716-739)."""
-        feature_idx = int(self.cfg_server.get("grad_idx", 0))
-        lo, hi = -3.0, 3.0
-        shared_data, payloads = [], []
-        for step in range(12):  # log2 search depth
-            mid = (lo + hi) / 2
-            self.reconfigure_for_feature_attack(target_cls, feature_idx, mid)
-            payload = self.distribute_payload(query_id=2 + step)
-            shared, _ = user.compute_local_updates(payload)
-            _, b_grad = self.model.head_grads(shared["gradients"])
-            hits = float(np.asarray(jnp.sum(jnp.abs(b_grad) > 1e-10)))
-            if hits >= 1:
-                lo = mid
-            else:
-                hi = mid
-            shared_data, payloads = [shared], [payload]
-            if abs(hi - lo) < 1e-3:
-                break
-        return shared_data, payloads
+        return np.sort(np.asarray(selected[:num_data]))
