@@ -174,33 +174,35 @@ class AprilAttacker(AnalyticAttacker):
 
     @staticmethod
     def closed_form_april(model, shared_data):
-        """Two lstsq solves (reference: closed_form_april, analytic_attack.py:869-896)."""
-        params = model.params
-        grads = shared_data["gradients"]
-        refs = model.april_refs(params)   # dict of paths (defined by the ViT module)
-        g_refs = model.april_refs(grads)
+        """Two lstsq solves (reference: closed_form_april, analytic_attack.py:869-896).
+
+        Solves run in float64 on host like the reference's gelsd path: the second
+        solve inverts a (P*P*C x D) embedding with poor conditioning, where f32
+        costs several dB of PSNR."""
+        refs = {k: np.asarray(v, np.float64) for k, v in model.april_refs(model.params).items()}
+        g_refs = {k: np.asarray(v, np.float64)
+                  for k, v in model.april_refs(shared_data["gradients"]).items()}
 
         qkv_w = refs["qkv_kernel"]        # (D, 3D) flax layout
         qkv_g = g_refs["qkv_kernel"]
         # b = sum over q,k,v of W^T g (in flax (in, out) layout: W g^T contracting out)
-        q_w, k_w, v_w = jnp.split(qkv_w, 3, axis=1)
-        q_g, k_g, v_g = jnp.split(qkv_g, 3, axis=1)
+        q_w, k_w, v_w = np.split(qkv_w, 3, axis=1)
+        q_g, k_g, v_g = np.split(qkv_g, 3, axis=1)
         b = q_w @ q_g.T + k_w @ k_g.T + v_w @ v_g.T      # (D, D)
 
         A = g_refs["pos_embed"][0]                        # (T, D): grad of pos-embedding
         pos_embed = refs["pos_embed"][0]
-        log.info(f"Attention Inversion: ||A||={jnp.linalg.norm(A):.3f}, ||b||={jnp.linalg.norm(b):.3f}")
-        # solve A^T z = b in the least-squares sense
-        z = jnp.linalg.pinv(A.T) @ b                      # (T, D) after transpose below
+        log.info(f"Attention Inversion: ||A||={np.linalg.norm(A):.3f}, ||b||={np.linalg.norm(b):.3f}")
+        z = np.linalg.lstsq(A.T, b, rcond=None)[0]        # solve A^T z = b, (T, D)
         z = z - pos_embed
         z = z[1:]                                         # drop CLS token
 
         em_w = refs["patch_kernel"]                       # (P*P*C, D)
         em_b = refs["patch_bias"]
         x = z - em_b
-        log.info(f"Embedding Inversion: ||A||={jnp.linalg.norm(em_w):.3f}, ||b||={jnp.linalg.norm(x):.3f}")
-        patches = jnp.linalg.pinv(em_w.T) @ x.T           # (P*P*C, T-1)
-        return model.april_retile(patches)
+        log.info(f"Embedding Inversion: ||A||={np.linalg.norm(em_w):.3f}, ||b||={np.linalg.norm(x):.3f}")
+        patches = np.linalg.lstsq(em_w.T, x.T, rcond=None)[0]  # (P*P*C, T-1)
+        return model.april_retile(jnp.asarray(patches, jnp.float32))
 
 
 def _fetch_path(tree, path):

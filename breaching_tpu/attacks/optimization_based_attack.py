@@ -260,10 +260,18 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
         chunk_runners = {}
 
+        # impl.mixed_precision lowers matmul/conv accumulation to bfloat16 passes
+        # (on v5e this is already XLA's default for f32; the flag makes it explicit
+        # and portable to backends where the default is 3-pass).
+        matmul_precision = "bfloat16" if self.cfg.impl.get("mixed_precision") else None
+
         def run_chunk(carry, start, length):
             if length not in chunk_runners:
                 chunk_runners[length] = jax.jit(
                     jax.vmap(lambda c, s: run_chunk_single(c, s, length), in_axes=(0, None)))
+            if matmul_precision:
+                with jax.default_matmul_precision(matmul_precision):
+                    return chunk_runners[length](carry, start)
             return chunk_runners[length](carry, start)
 
         opt_state = jax.vmap(optimizer.init)(candidates)

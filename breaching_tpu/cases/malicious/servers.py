@@ -93,6 +93,14 @@ class MaliciousModelServer(HonestServer):
             shape=data_shape,
             structure=block.structure,
         )
+        if cfg_mod.get("handle_preceding_layers") == "VAE":
+            # deeper placements need a decoder back to input space
+            # (reference: servers.py:368-381 trains a VAE for this)
+            from .aux_training import train_encoder_decoder
+
+            decode, _ = train_encoder_decoder(
+                data_shape, dataloader=self.external_dataloader, steps=200)
+            self.secrets["ImprintBlock"]["decoder"] = decode
         self.model = new_model
         self.loss = self.loss  # unchanged
         for _ in range(int(self.cfg_server.get("normalize_rounds", 0) or 0)):
