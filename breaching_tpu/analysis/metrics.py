@@ -63,6 +63,50 @@ def ssim(rec, ref, max_val: float = 1.0):
     return jnp.mean(ssim_map)
 
 
+def _gabor_bank(size: int = 7, scales=(1.5, 3.0), orientations=4):
+    """Complex Gabor filter bank for CW-SSIM (replaces the reference's
+    pytorch_wavelets DTCWT, metrics.py:11-55 — an optional torch dependency)."""
+    coords = np.arange(size) - (size - 1) / 2.0
+    yy, xx = np.meshgrid(coords, coords, indexing="ij")
+    kernels = []
+    for sigma in scales:
+        for k in range(orientations):
+            theta = np.pi * k / orientations
+            xr = xx * np.cos(theta) + yy * np.sin(theta)
+            envelope = np.exp(-(xx ** 2 + yy ** 2) / (2 * sigma ** 2))
+            wave = np.exp(1j * 2 * np.pi * xr / (2 * sigma))
+            kern = envelope * wave
+            kern -= kern.mean()  # zero DC
+            kernels.append(kern / np.linalg.norm(kern))
+    return np.stack(kernels)  # (S*O, size, size)
+
+
+def cw_ssim(rec, ref, k: float = 1e-6):
+    """Complex-wavelet SSIM over a Gabor bank: structure comparison in the
+    complex coefficient domain, robust to small shifts (reference computes this
+    via DTCWT; same index formula: (2|sum cx cy*| + K)/(sum|cx|^2+|cy|^2 + K))."""
+    bank = _gabor_bank()
+    rec_g = jnp.mean(rec, axis=-1)  # luminance
+    ref_g = jnp.mean(ref, axis=-1)
+
+    def coeffs(x, kern):
+        kr = jnp.asarray(np.real(kern))[:, :, None, None]
+        ki = jnp.asarray(np.imag(kern))[:, :, None, None]
+        conv = lambda img, kk: jax.lax.conv_general_dilated(
+            img[..., None], kk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+        return conv(x, kr) + 1j * conv(x, ki)
+
+    total = 0.0
+    for kern in bank:
+        cx = coeffs(rec_g, kern)
+        cy = coeffs(ref_g, kern)
+        num = 2 * jnp.abs(jnp.sum(cx * jnp.conj(cy), axis=(1, 2))) + k
+        den = jnp.sum(jnp.abs(cx) ** 2 + jnp.abs(cy) ** 2, axis=(1, 2)) + k
+        total = total + jnp.mean(num / den)
+    return total / len(bank)
+
+
 def registered_psnr(rec, ref, factor: float = 1.0):
     """Shift-robust PSNR: best PSNR over a grid of small translations/flips.
 
