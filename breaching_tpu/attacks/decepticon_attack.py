@@ -95,7 +95,32 @@ class DecepticonAttacker(AnalyticAttacker):
             leaked_emb = _layer_norm(embedding_table[leaked], norm_scale, norm_bias)
             leaked_emb_c = leaked_emb[:, v:-1]
 
-        # ---- positions-first recovery (reference:213-256) ----
+        recovery_order = self.cfg.get("recovery_order", "positions-first")
+        if recovery_order == "tokens-first" and leaked is not None and len(leaked) > 0:
+            # ---- tokens-first recovery (reference:258-314) ----
+            token_order, breach_sel, costs = self._match_embeddings(breached_c, leaked_emb_c)
+            breach_tokens = np.zeros(len(breached_c), np.int64)
+            breach_costs = np.full(len(breached_c), -np.inf)
+            breach_tokens[token_order] = leaked[breach_sel]
+            breach_costs[token_order] = costs
+            token_embs = _layer_norm(embedding_table[breach_tokens], norm_scale, norm_bias)[:, v:-1]
+            just_positions = self._separate(breached_c, token_embs)
+            recovered_tokens = np.zeros(len_data * seq_len, np.int64)
+            slot_costs = np.full(len_data * seq_len, -np.inf)
+            for sentence in range(len_data):
+                mask = sentence_labels == sentence
+                if not mask.any():
+                    continue
+                pos_idx, row_idx, pos_costs = self._match_embeddings(
+                    positional_c[:seq_len], just_positions[mask])
+                recovered_tokens[sentence * seq_len + pos_idx] = breach_tokens[mask][row_idx]
+                slot_costs[sentence * seq_len + pos_idx] = breach_costs[mask][row_idx] * pos_costs
+            final_tokens = recovered_tokens.reshape(len_data, seq_len)
+            confidence = np.clip(slot_costs, 0, 1).reshape(len_data, seq_len)
+            return dict(data=jnp.asarray(final_tokens), labels=tokens,
+                        confidence=jnp.asarray(confidence)), stats
+
+        # ---- positions-first recovery (reference:213-256, default) ----
         ordered = np.zeros((len_data * seq_len, breached_c.shape[1]), breached_c.dtype)
         for sentence in range(len_data):
             rows = breached_c[sentence_labels == sentence]

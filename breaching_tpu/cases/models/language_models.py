@@ -214,6 +214,12 @@ def construct_text_model(cfg_model, cfg_data, key=None):
         module = LSTMModel(vocab)
     elif name == "linear":
         module = LinearLM(vocab)
+    elif name.startswith("hf-"):
+        # exact HuggingFace Flax architecture (config-only, no weight download;
+        # note: HF Flax classes are deprecated upstream and lack inputs_embeds,
+        # so only token-id attacks apply — reference wraps the torch versions in
+        # HuggingFaceContainer, model_preparation.py:97-149)
+        return _construct_hf_flax_model(name[3:], cfg_data, key)
     elif "gpt2" in name.lower():
         module = TransformerModel(vocab, 768, 12, 3072, 12, positional_embedding="learnable",
                                   norm_first=True, tie_weights=True)
@@ -238,5 +244,46 @@ def construct_text_model(cfg_model, cfg_data, key=None):
         model.aux = dict(registry=dict(embedding=("embedding",),
                                        decoder_bias=("decoder", "bias")))
 
+    loss_cls = LOSSES.get(getattr(cfg_data, "task", "causal-lm"), CausalLoss)
+    return model, loss_cls()
+
+
+def _construct_hf_flax_model(hf_name, cfg_data, key):
+    """Wrap a HuggingFace Flax LM into the JaxModel contract (ids-only forward)."""
+    import dataclasses
+
+    from .losses import LOSSES, CausalLoss
+    from .model_preparation import JaxModel
+
+    vocab = int(cfg_data.vocab_size)
+    if "gpt2" in hf_name:
+        from transformers import FlaxGPT2LMHeadModel, GPT2Config
+
+        config = GPT2Config(vocab_size=vocab)
+        hf_model = FlaxGPT2LMHeadModel(config, seed=0)
+        embedding_path = ("transformer", "wte", "embedding")
+    elif "bert" in hf_name:
+        from transformers import BertConfig, FlaxBertForMaskedLM
+
+        config = BertConfig(vocab_size=vocab)
+        hf_model = FlaxBertForMaskedLM(config, seed=0)
+        embedding_path = ("bert", "embeddings", "word_embeddings", "embedding")
+    else:
+        raise ValueError(f"Unsupported HF flax model {hf_name}.")
+
+    @dataclasses.dataclass
+    class HFJaxModel(JaxModel):
+        def apply(self, params, buffers, inputs, train: bool = False, capture: bool = False):
+            outputs = hf_model(jnp.asarray(inputs, jnp.int32), params=params, train=False)
+            return outputs.logits, {}
+
+        def init_state(self, key, input_example=None):
+            return dict(hf_model.params), {}
+
+    example = jnp.zeros((1, int(cfg_data.shape[0])), jnp.int32)
+    model = HFJaxModel(name=f"hf-{hf_name}", module=hf_model, params=dict(hf_model.params),
+                       buffers={}, modality="text", head_path=embedding_path[:-1],
+                       input_example=example,
+                       aux=dict(registry=dict(embedding=embedding_path, decoder_bias=None)))
     loss_cls = LOSSES.get(getattr(cfg_data, "task", "causal-lm"), CausalLoss)
     return model, loss_cls()
