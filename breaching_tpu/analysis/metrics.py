@@ -84,25 +84,30 @@ def _gabor_bank(size: int = 7, scales=(1.5, 3.0), orientations=4):
 def cw_ssim(rec, ref, k: float = 1e-6):
     """Complex-wavelet SSIM over a Gabor bank: structure comparison in the
     complex coefficient domain, robust to small shifts (reference computes this
-    via DTCWT; same index formula: (2|sum cx cy*| + K)/(sum|cx|^2+|cy|^2 + K))."""
+    via DTCWT; same index formula: (2|sum cx cy*| + K)/(sum|cx|^2+|cy|^2 + K)).
+
+    Complex dtypes are unsupported on some TPU backends, so real and imaginary
+    parts are carried explicitly."""
     bank = _gabor_bank()
     rec_g = jnp.mean(rec, axis=-1)  # luminance
     ref_g = jnp.mean(ref, axis=-1)
 
-    def coeffs(x, kern):
-        kr = jnp.asarray(np.real(kern))[:, :, None, None]
-        ki = jnp.asarray(np.imag(kern))[:, :, None, None]
-        conv = lambda img, kk: jax.lax.conv_general_dilated(
+    def conv(img, kk):
+        return jax.lax.conv_general_dilated(
             img[..., None], kk, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
-        return conv(x, kr) + 1j * conv(x, ki)
 
     total = 0.0
     for kern in bank:
-        cx = coeffs(rec_g, kern)
-        cy = coeffs(ref_g, kern)
-        num = 2 * jnp.abs(jnp.sum(cx * jnp.conj(cy), axis=(1, 2))) + k
-        den = jnp.sum(jnp.abs(cx) ** 2 + jnp.abs(cy) ** 2, axis=(1, 2)) + k
+        kr = jnp.asarray(np.real(kern), jnp.float32)[:, :, None, None]
+        ki = jnp.asarray(np.imag(kern), jnp.float32)[:, :, None, None]
+        ar, ai = conv(rec_g, kr), conv(rec_g, ki)
+        br, bi = conv(ref_g, kr), conv(ref_g, ki)
+        # sum of cx * conj(cy) over pixels, then magnitude
+        dot_re = jnp.sum(ar * br + ai * bi, axis=(1, 2))
+        dot_im = jnp.sum(ai * br - ar * bi, axis=(1, 2))
+        num = 2 * jnp.sqrt(dot_re ** 2 + dot_im ** 2) + k
+        den = jnp.sum(ar ** 2 + ai ** 2 + br ** 2 + bi ** 2, axis=(1, 2)) + k
         total = total + jnp.mean(num / den)
     return total / len(bank)
 

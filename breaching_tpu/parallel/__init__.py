@@ -1,3 +1,4 @@
+from .federated import sharded_user_aggregate
 from .mesh import (
     make_mesh,
     params_partition_specs,
@@ -5,4 +6,5 @@ from .mesh import (
     sharded_attack_step,
 )
 
-__all__ = ["make_mesh", "params_partition_specs", "shard_pytree", "sharded_attack_step"]
+__all__ = ["make_mesh", "params_partition_specs", "shard_pytree",
+           "sharded_attack_step", "sharded_user_aggregate"]

@@ -1,0 +1,64 @@
+"""Run a named example setting (see examples/README.md for the table).
+
+Usage: python examples/run_example.py deep_leakage [extra=overrides ...]
+Demo-scale overrides keep runtimes short; pass --full for paper-scale settings.
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+EXAMPLES = {
+    "inverting_gradients_resnet18": ["case=2_single_imagenet", "attack=invertinggradients"],
+    "inverting_gradients_fedavg": ["case=4_fedavg_small_scale", "attack=invertinggradients"],
+    "inverting_large_batch_cifar": ["case=6_large_batch_cifar", "attack=invertinggradients"],
+    "deep_leakage": ["case=1_single_image_small", "attack=deepleakage",
+                     "case.user.provide_labels=False"],
+    "beyond_inferring": ["case=1_single_image_small", "attack=beyondinfering"],
+    "wei_framework": ["case=1_single_image_small", "attack=wei"],
+    "see_through_gradients": ["case=5_small_batch_imagenet", "attack=seethroughgradients"],
+    "modern_hyperparams": ["case=2_single_imagenet", "attack=modern"],
+    "legacy_hyperparams": ["case=2_single_imagenet", "attack=legacy"],
+    "multiscale": ["case=2_single_imagenet", "attack=multiscale_ghiasi"],
+    "rgap": ["case=1_single_image_small", "attack=rgap", "case.model=cnn6"],
+    "april": ["case=2_single_imagenet", "attack=april_analytic", "case.model=vit_base_april"],
+    "robbing_the_fed": ["case=2_single_imagenet", "attack=imprint",
+                        "case/server=malicious-model-rtf"],
+    "curious_abandon_honesty": ["case=1_single_image_small", "attack=imprint",
+                                "case/server=malicious-model-cah"],
+    "fishing": ["case=5_small_batch_imagenet", "attack=clsattack",
+                "case/server=malicious-fishing", "case.user.provide_labels=True"],
+    "decepticons_transformer": ["case=10_causal_lang_training", "attack=decepticon",
+                                "case/server=malicious-transformer"],
+    "decepticons_bert": ["case=9_bert_training", "attack=decepticon",
+                         "case/server=malicious-transformer", "case.model=bert-base-uncased"],
+    "decepticons_gpt2": ["case=10_causal_lang_training", "attack=decepticon",
+                         "case/server=malicious-transformer", "case.model=gpt2S"],
+    "tag": ["case=10_causal_lang_training", "attack=tag"],
+    "permutation": ["case=10_causal_lang_training", "attack=permutation"],
+    "sanity_check": ["case=0_sanity_check", "attack=analytic"],
+    "dlg_text": ["case=10_causal_lang_training", "attack=deepleakage",
+                 "case.user.provide_labels=False"],
+}
+
+# demo-scale overrides (drop with --full)
+DEMO = ["attack.optim.max_iterations=500", "attack.optim.callback=100"]
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] not in EXAMPLES:
+        print(f"Usage: python examples/run_example.py <name> [overrides...]\n"
+              f"Available: {', '.join(sorted(EXAMPLES))}")
+        raise SystemExit(1)
+    name = sys.argv[1]
+    extra = [a for a in sys.argv[2:] if a != "--full"]
+    overrides = EXAMPLES[name] + ([] if "--full" in sys.argv else DEMO) + extra
+
+    import simulate_breach
+
+    sys.argv = ["simulate_breach.py", *overrides, f"name={name}"]
+    simulate_breach.main_launcher()
+
+
+if __name__ == "__main__":
+    main()

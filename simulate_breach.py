@@ -23,7 +23,7 @@ def main_process(process_idx, local_group_size, cfg):
     attacker = breaching.attacks.prepare_attack(server.model, server.loss, cfg.attack, setup)
     breaching.utils.overview(server, user, attacker)
 
-    if cfg.case.user.user_idx is None:
+    if cfg.case.user.get("user_idx") is None:
         cfg.case.user.user_idx = 0
 
     shared_user_data, payloads, true_user_data = server.run_protocol(user)

@@ -29,6 +29,44 @@ def test_dryrun_multichip_entrypoint():
 
 
 @requires_multidevice
+def test_sharded_user_aggregate_matches_sequential():
+    """pmean over the mesh must equal the sequential per-user running mean."""
+    import jax.numpy as jnp
+
+    from breaching_tpu.cases.models import construct_model
+    from breaching_tpu.config.loader import ConfigNode
+    from breaching_tpu.parallel import make_mesh, sharded_user_aggregate
+
+    cfg_data = ConfigNode(
+        name="CIFAR10", modality="vision", task="classification", classes=10,
+        shape=[3, 8, 8], normalize=True, mean=[0.5] * 3, std=[0.25] * 3,
+        path="~/x", size=100, examples_from_split="validation",
+        partition="none", default_clients=1, batch_size=4, caching=False)
+    model, loss_fn = construct_model("ConvNetSmall16", cfg_data, key=jax.random.PRNGKey(0))
+    num_users, B = 8, 2
+    inputs = jax.random.normal(jax.random.PRNGKey(1), (num_users, B, 8, 8, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (num_users, B), 0, 10)
+
+    mesh = make_mesh(8)
+    agg = sharded_user_aggregate(model, loss_fn, mesh, inputs, labels)
+
+    def seq_grad(x, y):
+        def task(p):
+            out, _ = model.apply(p, {}, x, train=False)
+            return loss_fn(out, y)
+        return jax.grad(task)(model.params)
+
+    seq = None
+    for u in range(num_users):
+        g = seq_grad(inputs[u], labels[u])
+        seq = g if seq is None else jax.tree_util.tree_map(lambda a, b: a + b, seq, g)
+    seq = jax.tree_util.tree_map(lambda a: a / num_users, seq)
+
+    for a, b in zip(jax.tree_util.tree_leaves(agg), jax.tree_util.tree_leaves(seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
+@requires_multidevice
 def test_sharded_matches_single_device():
     """The sharded attack step must produce the same values as unsharded."""
     import jax.numpy as jnp
