@@ -49,7 +49,7 @@ class OptimizationBasedAttacker(_BaseAttacker):
         self.regularizers = []
         if self.cfg.regularization:
             for key, rcfg in self.cfg.regularization.items():
-                if rcfg and rcfg.get("scale", 0) > 0:
+                if rcfg and float(rcfg.get("scale", 0) or 0) > 0:
                     self.regularizers.append(regularizer_lookup[key](self.setup, **rcfg))
         self.augmentations = self._build_augmentations()
 
@@ -232,9 +232,13 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
         value_and_grad = jax.value_and_grad(total_loss, has_aux=True)
 
+        needs_aug_key = bool(self.augmentations) or langevin > 0
+
         def step(carry, iteration):
             candidate, opt_state, best, best_val, trial_key = carry
-            aug_key = jax.random.fold_in(trial_key, iteration)
+            # PRNG folding costs a per-step threefry launch; skip it when nothing
+            # in the step consumes randomness.
+            aug_key = jax.random.fold_in(trial_key, iteration) if needs_aug_key else trial_key
             (value, task_loss), grad = value_and_grad(candidate, aug_key)
             grad = transform_grads(grad, iteration, trial_key)
             if needs_value_fn:
@@ -267,15 +271,19 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
         def run_chunk(carry, start, length):
             if length not in chunk_runners:
+                # donate the carry: candidates/opt state/best buffers update in place
                 chunk_runners[length] = jax.jit(
-                    jax.vmap(lambda c, s: run_chunk_single(c, s, length), in_axes=(0, None)))
+                    jax.vmap(lambda c, s: run_chunk_single(c, s, length), in_axes=(0, None)),
+                    donate_argnums=(0,))
             if matmul_precision:
                 with jax.default_matmul_precision(matmul_precision):
                     return chunk_runners[length](carry, start)
             return chunk_runners[length](carry, start)
 
         opt_state = jax.vmap(optimizer.init)(candidates)
-        best = candidates
+        # materialize a distinct copy: best and candidates must not alias once the
+        # chunk runner donates its input buffers
+        best = jax.tree_util.tree_map(jnp.copy, candidates)
         # explicit dtype: a weak-typed inf would flip to strong after chunk 1 and
         # silently retrace the whole chunk runner
         best_val = jnp.full((num_trials,), jnp.inf, dtype=jnp.float32)
