@@ -19,6 +19,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _cheap_pow(x, exponent: float):
+    """x**p without transcendentals for the common exponents: jnp.power with a
+    float exponent lowers to exp/log on TPU even for p=1, which costs ~0.5ms per
+    attack iteration at ImageNet shapes (measured: TV p=q=1 was 33 it/s of the
+    ResNet-18 attack's throughput)."""
+    if exponent == 1.0:
+        return x
+    if exponent == 2.0:
+        return jnp.square(x)
+    if exponent == 0.5:
+        return jnp.sqrt(x)
+    if exponent == 1.5:
+        return x * jnp.sqrt(x)
+    return jnp.power(x, exponent)
+
+
 class TotalVariation:
     """Anisotropic/isotropic TV with optional double-opponent color terms.
 
@@ -51,9 +67,9 @@ class TotalVariation:
         # zero-padded conv stencil)
         dx = jnp.diff(x, axis=2, append=x[:, :, -1:, :])
         dy = jnp.diff(x, axis=1, append=x[:, -1:, :, :])
-        px = jnp.power(jnp.abs(dx) + self.eps, self.inner_exp)
-        py = jnp.power(jnp.abs(dy) + self.eps, self.inner_exp)
-        combined = jnp.power(px + py, self.outer_exp)
+        px = _cheap_pow(jnp.abs(dx) + self.eps, self.inner_exp)
+        py = _cheap_pow(jnp.abs(dy) + self.eps, self.inner_exp)
+        combined = _cheap_pow(px + py, self.outer_exp)
         return jnp.mean(combined) * self.scale
 
     def __repr__(self):

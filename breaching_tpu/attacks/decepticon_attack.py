@@ -182,6 +182,14 @@ class DecepticonAttacker(AnalyticAttacker):
         if secrets["structure"] == "cumulative":
             weights = np.concatenate([weights[:1], weights[1:] - weights[:-1]], axis=0)
             biases = np.concatenate([biases[:1], biases[1:] - biases[:-1]])
+        elif secrets["structure"] == "cumulative-per-layer":
+            # bins are cumulative within each layer's block (bin_setup separate/repeat)
+            H = int(secrets["hidden_dim"])
+            for start in range(0, len(biases), H):
+                block_w = weights[start:start + H]
+                block_b = biases[start:start + H]
+                weights[start + 1:start + H] = block_w[1:] - block_w[:-1]
+                biases[start + 1:start + H] = block_b[1:] - block_b[:-1]
 
         valid = np.abs(biases) > 1e-10
         safe_bias = np.where(valid, biases, np.inf)

@@ -67,13 +67,18 @@ def reconfigure_transformer(model, loss_fn, cfg_server, cfg_data, setup, externa
 
     rng = np.random.default_rng(int(pmod.get("seed", 0) or 0))
 
-    # --- measurement probes (reference: servers.py:418-429) ---
-    probe_dim = D - v_length - 1
-    weights = rng.standard_normal(probe_dim)
-    probe = (weights - weights.mean()) / weights.std() / math.sqrt(probe_dim)
-    probe = probe * float(pmod.measurement_scale)
-    measurement = np.zeros(D, np.float32)
-    measurement[v_length:-1] = probe
+    # --- measurement probes, one per layer (reference: servers.py:418-429) ---
+    def make_measurement():
+        probe_dim = D - v_length - 1
+        weights = rng.standard_normal(probe_dim)
+        probe = (weights - weights.mean()) / weights.std() / math.sqrt(probe_dim)
+        probe = probe * float(pmod.measurement_scale)
+        m = np.zeros(D, np.float32)
+        m[v_length:-1] = probe
+        return m
+
+    measurements = [make_measurement() for _ in range(nlayers)]
+    measurement = measurements[0]
 
     # --- embedding modifications (reference: partially_disable_embedding:60-67) ---
     params["embedding"][:, :v_length] = 0.0
@@ -142,26 +147,47 @@ def reconfigure_transformer(model, loss_fn, cfg_server, cfg_data, setup, externa
     model.params = jax.tree_util.tree_map(jnp.asarray, params)
 
     # --- calibrate feature distribution, then set imprint bins ---
-    mu, std = _feature_distribution(model, measurement, cfg_data, external_dataloader)
-    log.info(f"Feature mean is {mu:.4f}, feature std is {std:.4f}.")
-
+    # bin_setup (reference: servers.py:487-501): 'concatenate' spreads one
+    # measurement's bins across all layers; 'separate' gives each layer its own
+    # probe and bin range; 'repeat' reuses probe 0 with per-layer calibration.
+    bin_setup = str(pmod.get("bin_setup", "concatenate"))
     params = jax.tree_util.tree_map(lambda x: np.array(x, copy=True), model.params)
-    num_bins = H * nlayers
-    bins = _gaussian_bins(mu, std, num_bins)
-    for i, path in enumerate(registry["ff_first"]):
-        layer = _fetch(params, path)
-        layer["kernel"] = np.tile(measurement[:, None], (1, H)).astype(np.float32)  # (D, H)
-        layer["bias"] = -np.asarray(bins[i * H:(i + 1) * H], np.float32)
+    all_bins = []
+    if bin_setup == "concatenate":
+        mu, std = _feature_distribution(model, measurement, cfg_data,
+                                        external_dataloader, layer=0)
+        log.info(f"Feature mean is {mu:.4f}, feature std is {std:.4f}.")
+        bins = _gaussian_bins(mu, std, H * nlayers)
+        for i, path in enumerate(registry["ff_first"]):
+            layer = _fetch(params, path)
+            layer["kernel"] = np.tile(measurement[:, None], (1, H)).astype(np.float32)
+            layer["bias"] = -np.asarray(bins[i * H:(i + 1) * H], np.float32)
+        all_bins = bins
+    elif bin_setup in ("separate", "repeat"):
+        for i, path in enumerate(registry["ff_first"]):
+            probe = measurements[i] if bin_setup == "separate" else measurements[0]
+            mu, std = _feature_distribution(model, probe, cfg_data,
+                                            external_dataloader, layer=i)
+            log.info(f"Layer {i}: feature mean {mu:.4f}, std {std:.4f}.")
+            bins = _gaussian_bins(mu, std, H)
+            layer = _fetch(params, path)
+            layer["kernel"] = np.tile(probe[:, None], (1, H)).astype(np.float32)
+            layer["bias"] = -np.asarray(bins, np.float32)
+            all_bins.extend(bins)
+    else:
+        raise ValueError(f"Invalid bin setup {bin_setup} given.")
     model.params = jax.tree_util.tree_map(jnp.asarray, params)
 
     secrets = dict(ImprintBlock=dict(
         weight_paths=list(registry["ff_first"]),
         bias_paths=[(*p, "bias") for p in registry["ff_first"]],
         data_shape=tuple(cfg_data.shape),
-        structure="cumulative",
+        structure="cumulative" if bin_setup == "concatenate" else "cumulative-per-layer",
         v_length=v_length,
-        bins=bins,
+        bins=all_bins,
         measurement=measurement,
+        bin_setup=bin_setup,
+        hidden_dim=H,
     ))
     return model, secrets
 
@@ -174,7 +200,8 @@ def _gaussian_bins(mu, std, num_bins):
     return bins
 
 
-def _feature_distribution(model, measurement, cfg_data, external_dataloader, num_batches=20):
+def _feature_distribution(model, measurement, cfg_data, external_dataloader,
+                          num_batches=20, layer=0):
     """Mean/std of <ff_input, measurement> on the rewired model
     (reference: compute_feature_distribution:8-57 — a forward hook with an early
     RuntimeError exit; here the FF inputs are sown intermediates)."""
@@ -185,7 +212,7 @@ def _feature_distribution(model, measurement, cfg_data, external_dataloader, num
     def batch_features(params, inputs):
         _, aux = model.apply(params, {}, inputs, train=True, capture=True)
         inter = aux.get("intermediates", {})
-        ff_in = _fetch(inter, ("layer0", "ff_input"))[0]
+        ff_in = _fetch(inter, (f"layer{layer}", "ff_input"))[0]
         return ff_in.reshape(-1, ff_in.shape[-1]) @ probe
 
     rng = np.random.default_rng(1)
