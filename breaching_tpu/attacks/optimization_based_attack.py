@@ -120,7 +120,22 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
     # ------------------------------------------------------------------ loss
 
-    def _build_loss_fn(self, rec_models, shared_data, labels, augmentation_key=None):
+    # Regularizers that depend only on the candidate (no model intermediates).
+    # Their gradients are added OUTSIDE the gradient-matching autodiff graph:
+    # composing even a trivially cheap term into the double-backward changes
+    # XLA's scheduling of the second-order conv chain and costs ~0.7ms/iter
+    # (measured: TV alone is 0.02ms standalone but 45 it/s inside the graph).
+    _CANDIDATE_ONLY_REGS = ("TotalVariation", "NormRegularization",
+                            "OrthogonalityRegularization")
+
+    def _split_regularizers(self):
+        inner, outer = [], []
+        for reg in self.regularizers:
+            (outer if type(reg).__name__ in self._CANDIDATE_ONLY_REGS else inner).append(reg)
+        return tuple(inner), tuple(outer)
+
+    def _build_loss_fn(self, rec_models, shared_data, labels, augmentation_key=None,
+                       include_outer_regs: bool = False):
         params_list = tuple(m.params for m in rec_models)
         buffers_list = tuple(m.buffers for m in rec_models)
         grads_list = tuple(d["gradients"] for d in shared_data)
@@ -128,11 +143,15 @@ class OptimizationBasedAttacker(_BaseAttacker):
         need_capture = any(
             type(r).__name__ in ("DeepInversion", "FeatureRegularization")
             for r in self.regularizers)
-        objective, regularizers = self.objective, tuple(self.regularizers)
+        objective = self.objective
+        inner_regs, outer_regs = self._split_regularizers()
+        if include_outer_regs:  # scoring path: one total value
+            inner_regs = inner_regs + outer_regs
+            outer_regs = ()
         augmentations = self.augmentations
         differentiable_augs = bool(self.cfg.differentiable_augmentations)
 
-        def total_loss(candidate_tree, aug_key):
+        def matching_loss(candidate_tree, aug_key):
             candidate = candidate_tree["data"]
             if augmentations:
                 augmented = candidate
@@ -150,11 +169,19 @@ class OptimizationBasedAttacker(_BaseAttacker):
                 total = total + obj
                 task_total = task_total + task
                 intermediates.append(inter)
-            for reg in regularizers:
+            for reg in inner_regs:
                 total = total + reg(candidate, intermediates)
             return total, task_total
 
-        return total_loss
+        def outer_reg_value(candidate_tree):
+            candidate = candidate_tree["data"]
+            total = jnp.zeros((), candidate.dtype)
+            for reg in outer_regs:
+                total = total + reg(candidate, None)
+            return total
+
+        matching_loss.outer_reg_value = outer_reg_value if outer_regs else None
+        return matching_loss
 
     # ------------------------------------------------------------------ core loop
 
@@ -231,6 +258,8 @@ class OptimizationBasedAttacker(_BaseAttacker):
             return jax.tree_util.tree_unflatten(treedef, out)
 
         value_and_grad = jax.value_and_grad(total_loss, has_aux=True)
+        outer_reg_value = getattr(total_loss, "outer_reg_value", None)
+        outer_vg = jax.value_and_grad(outer_reg_value) if outer_reg_value else None
 
         needs_aug_key = bool(self.augmentations) or langevin > 0
 
@@ -240,11 +269,25 @@ class OptimizationBasedAttacker(_BaseAttacker):
             # in the step consumes randomness.
             aug_key = jax.random.fold_in(trial_key, iteration) if needs_aug_key else trial_key
             (value, task_loss), grad = value_and_grad(candidate, aug_key)
+            if outer_vg is not None:
+                # candidate-only regularizers (TV/norm/orthogonality): value and
+                # grad computed outside the second-order matching graph. Profiling
+                # shows any second cotangent path into the candidate makes XLA pick
+                # a slower convolution_add_fusion for the conv backward
+                # (~0.6ms/iter on ResNet-18); the split keeps the matching graph
+                # clean, though the regularized step still pays that fusion.
+                reg_value, reg_grad = outer_vg(candidate)
+                value = value + reg_value
+                grad = jax.tree_util.tree_map(jnp.add, grad, reg_grad)
             grad = transform_grads(grad, iteration, trial_key)
             if needs_value_fn:
+                def full_value(c):
+                    v = total_loss(c, aug_key)[0]
+                    return v + (outer_reg_value(c) if outer_reg_value else 0.0)
+
                 updates, opt_state = optimizer.update(
                     grad, opt_state, candidate, value=value, grad=grad,
-                    value_fn=lambda c: total_loss(c, aug_key)[0])
+                    value_fn=full_value)
             else:
                 updates, opt_state = optimizer.update(grad, opt_state, candidate)
             new_candidate = optax.apply_updates(candidate, updates)
