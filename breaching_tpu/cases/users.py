@@ -197,6 +197,39 @@ class UserSingleStep:
             for key in blocks[0]
         }
 
+    def print(self, user_data, tokenizer=None, **kwargs):
+        """Print decoded text data (reference: users.py:229-234). Without a
+        tokenizer, token ids are printed directly."""
+        data = np.asarray(user_data["data"])
+        for row in data.reshape(data.shape[0], -1):
+            if tokenizer is not None:
+                print(tokenizer.decode(row.tolist()))
+            else:
+                print(" ".join(str(int(t)) for t in row))
+
+    def print_with_confidence(self, user_data, tokenizer=None, **kwargs):
+        """Print tokens annotated with attack confidence (reference: users.py:236-250)."""
+        data = np.asarray(user_data["data"])
+        confidence = np.asarray(user_data.get("confidence", np.ones_like(data, np.float32)))
+        for row, conf in zip(data.reshape(data.shape[0], -1),
+                             confidence.reshape(data.shape[0], -1)):
+            parts = []
+            for token, c in zip(row, conf):
+                text = tokenizer.decode([int(token)]) if tokenizer is not None else str(int(token))
+                parts.append(f"{text}[{float(c):.2f}]")
+            print(" ".join(parts))
+
+    def print_and_mark_correct(self, user_data, true_user_data, tokenizer=None, **kwargs):
+        """Print tokens marking matches with the ground truth (reference: users.py:252-266)."""
+        data = np.asarray(user_data["data"])
+        truth = np.asarray(true_user_data["data"])
+        for row, gt in zip(data.reshape(data.shape[0], -1), truth.reshape(truth.shape[0], -1)):
+            parts = []
+            for token, gt_token in zip(row, gt):
+                text = tokenizer.decode([int(token)]) if tokenizer is not None else str(int(token))
+                parts.append(f"{text}{'✓' if int(token) == int(gt_token) else '✗'}")
+            print(" ".join(parts))
+
     def plot(self, user_data, scale=False, print_labels=False, savefile=None):
         """Render user data to a matplotlib figure (reference: users.py:268-305)."""
         import matplotlib

@@ -75,6 +75,14 @@ def _configure_logging():
     root.setLevel(logging.INFO)
 
 
+def set_deterministic():
+    """Force deterministic XLA reductions (reference: utils.py:170-175 toggles
+    CUDNN determinism; the XLA equivalent is the deterministic-ops flag)."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_gpu_deterministic_ops=true").strip()
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+
 def overview(server, user, attacker):
     """Print a human-readable summary of the threat model of this run."""
     log.info(f"\n{server}\n{user}\n{attacker}\n")
