@@ -52,11 +52,51 @@ def _tv_p1q1_bwd(x, g):
 _tv_p1q1.defvjp(_tv_p1q1_fwd, _tv_p1q1_bwd)
 
 
+def _make_tv_general(inner_exp: float, outer_exp: float, eps: float):
+    """Closed-form-VJP TV for general (p, q) exponents: same motivation as
+    _tv_p1q1 — keep the TV backward out of the autodiff graph of the conv chain.
+
+        TV = mean( (px + py)^q ),  px = (|dx| + eps)^p
+        d TV / d dx = q (px+py)^(q-1) * p (|dx|+eps)^(p-1) * sign(dx)
+    scattered back through the forward-difference stencil as a divergence.
+    """
+
+    @jax.custom_vjp
+    def tv(x):
+        dx = jnp.diff(x, axis=2, append=x[:, :, -1:, :])
+        dy = jnp.diff(x, axis=1, append=x[:, -1:, :, :])
+        px = _cheap_pow(jnp.abs(dx) + eps, inner_exp)
+        py = _cheap_pow(jnp.abs(dy) + eps, inner_exp)
+        return jnp.mean(_cheap_pow(px + py, outer_exp))
+
+    def fwd(x):
+        return tv(x), x
+
+    def bwd(x, g):
+        _, H, W, _ = x.shape
+        col = jnp.arange(W).reshape(1, 1, W, 1) < (W - 1)
+        row = jnp.arange(H).reshape(1, H, 1, 1) < (H - 1)
+        dx = (jnp.roll(x, -1, axis=2) - x) * col
+        dy = (jnp.roll(x, -1, axis=1) - x) * row
+        px = _cheap_pow(jnp.abs(dx) + eps, inner_exp)
+        py = _cheap_pow(jnp.abs(dy) + eps, inner_exp)
+        outer = outer_exp * _cheap_pow(px + py, outer_exp - 1.0)
+        gx = outer * inner_exp * _cheap_pow(jnp.abs(dx) + eps, inner_exp - 1.0) * jnp.sign(dx) * col
+        gy = outer * inner_exp * _cheap_pow(jnp.abs(dy) + eps, inner_exp - 1.0) * jnp.sign(dy) * row
+        grad = (jnp.roll(gx, 1, axis=2) - gx) + (jnp.roll(gy, 1, axis=1) - gy)
+        return (grad * (g / x.size),)
+
+    tv.defvjp(fwd, bwd)
+    return tv
+
+
 def _cheap_pow(x, exponent: float):
     """x**p without transcendentals for the common exponents: jnp.power with a
     float exponent lowers to exp/log on TPU even for p=1, which costs ~0.5ms per
     attack iteration at ImageNet shapes (measured: TV p=q=1 was 33 it/s of the
     ResNet-18 attack's throughput)."""
+    if exponent == 0.0:
+        return jnp.ones_like(x)
     if exponent == 1.0:
         return x
     if exponent == 2.0:
@@ -83,6 +123,7 @@ class TotalVariation:
         self.outer_exp = float(outer_exp)
         self.eps = float(eps)
         self.double_opponents = bool(double_opponents)
+        self._tv_general = None
 
     def initialize(self, models, shared_data=None, labels=None):
         pass
@@ -98,14 +139,9 @@ class TotalVariation:
                 axis=-1)
         if self.inner_exp == 1.0 and self.outer_exp == 1.0:
             return _tv_p1q1(x, self.eps) * self.scale
-        # forward differences with replicate boundary (the reference's
-        # zero-padded conv stencil modulo the boundary term)
-        dx = jnp.diff(x, axis=2, append=x[:, :, -1:, :])
-        dy = jnp.diff(x, axis=1, append=x[:, -1:, :, :])
-        px = _cheap_pow(jnp.abs(dx) + self.eps, self.inner_exp)
-        py = _cheap_pow(jnp.abs(dy) + self.eps, self.inner_exp)
-        combined = _cheap_pow(px + py, self.outer_exp)
-        return jnp.mean(combined) * self.scale
+        if self._tv_general is None:
+            self._tv_general = _make_tv_general(self.inner_exp, self.outer_exp, self.eps)
+        return self._tv_general(x) * self.scale
 
     def __repr__(self):
         return (f"Total Variation, scale={self.scale}. p={self.inner_exp} q={self.outer_exp}. "

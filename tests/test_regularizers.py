@@ -24,6 +24,34 @@ def test_tv_step_edge():
     assert np.isclose(float(val), 0.25, atol=1e-6)
 
 
+def test_tv_custom_vjp_matches_autodiff():
+    """The closed-form TV backward must equal autodiff for all exponent configs."""
+    import jax
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 12, 3))
+    for p, q, dop in [(1.0, 1.0, False), (2.0, 0.5, False), (2.0, 1.25, False),
+                      (1.0, 1.0, True), (2.0, 0.5, True)]:
+        tv = TotalVariation(scale=1.0, eps=1e-6, inner_exp=p, outer_exp=q,
+                            double_opponents=dop)
+
+        def generic(img):
+            xx = img
+            if dop:
+                xx = jnp.concatenate([xx, xx[..., 0:1] - xx[..., 1:2],
+                                      xx[..., 0:1] - xx[..., 2:3],
+                                      xx[..., 1:2] - xx[..., 2:3]], axis=-1)
+            dx = jnp.diff(xx, axis=2, append=xx[:, :, -1:, :])
+            dy = jnp.diff(xx, axis=1, append=xx[:, -1:, :, :])
+            return jnp.mean(jnp.power(jnp.power(jnp.abs(dx) + 1e-6, p)
+                                      + jnp.power(jnp.abs(dy) + 1e-6, p), q))
+
+        np.testing.assert_allclose(float(tv(x)), float(generic(x)), rtol=1e-5)
+        g1 = jax.grad(lambda img: tv(img))(x)
+        g2 = jax.grad(generic)(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6,
+                                   err_msg=f"p={p} q={q} dop={dop}")
+
+
 def test_norm_regularizer():
     img = jnp.full((1, 2, 2, 1), 2.0)
     # 1/p * mean(|x|^p) * scale = 0.5 * 4 * 1 = 2
