@@ -57,20 +57,20 @@ def shard_pytree(tree, mesh, specs):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
 
 
-def sharded_attack_step(model, loss_fn, objective, mesh, optimizer=None):
-    """Build one fully-sharded gradient-inversion training step.
+def sharded_attack_step(model, loss_fn, objective, mesh, params, optimizer=None):
+    """Build one fully-sharded gradient-inversion step, jitted with explicit
+    shardings: candidates [restarts, B, H, W, C] over the 'restarts' axis,
+    parameters channel-sharded over 'model'. XLA lowers the matching objective's
+    pytree reductions to psums over the 'model' axis of ICI.
 
-    Layout: candidates [restarts, B, H, W, C] sharded over 'restarts';
-    params channel-sharded over 'model'; the returned step function is jitted
-    with those shardings and performs: attack gradient -> adam update ->
-    box projection. XLA lowers the pytree reductions in the matching objective
-    to psums over the 'model' axis of ICI.
+    Returns (step_fn, param_specs); step_fn(candidates, opt_state, params,
+    buffers, target_grads, labels) -> (candidates, opt_state, values).
     """
     optimizer = optimizer or optax.adam(0.1)
 
     def single_trial_loss(candidate, params, buffers, target_grads, labels):
-        obj, task, _ = objective(params, buffers, target_grads, candidate, labels,
-                                 bn_train=False, capture=False)
+        obj, _, _ = objective(params, buffers, target_grads, candidate, labels,
+                              bn_train=False, capture=False)
         return obj
 
     def step(candidates, opt_state, params, buffers, target_grads, labels):
@@ -78,29 +78,20 @@ def sharded_attack_step(model, loss_fn, objective, mesh, optimizer=None):
             val, grad = jax.value_and_grad(single_trial_loss)(
                 candidate, params, buffers, target_grads, labels)
             updates, ostate = optimizer.update(grad, ostate, candidate)
-            candidate = optax.apply_updates(candidate, updates)
-            return candidate, ostate, val
+            return optax.apply_updates(candidate, updates), ostate, val
 
-        new_c, new_s, vals = jax.vmap(per_trial, in_axes=(0, 0))(candidates, opt_state)
-        return new_c, new_s, vals
+        return jax.vmap(per_trial, in_axes=(0, 0))(candidates, opt_state)
 
-    pspecs = params_partition_specs({}, mesh)  # placeholder; real specs built at call time
-
-    def make(params):
-        param_specs = params_partition_specs(params, mesh)
-        cand_spec = P("restarts")
-        jitted = jax.jit(
-            step,
-            in_shardings=(
-                NamedSharding(mesh, cand_spec),             # candidates
-                None,                                        # opt state (inferred)
-                jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), param_specs),
-                None, None, None,
-            ),
-            out_shardings=(NamedSharding(mesh, cand_spec), None, None),
-        )
-        return jitted, param_specs
-
-    step.make = make
-    step.optimizer = optimizer
-    return step
+    param_specs = params_partition_specs(params, mesh)
+    cand_sharding = NamedSharding(mesh, P("restarts"))
+    jitted = jax.jit(
+        step,
+        in_shardings=(
+            cand_sharding,
+            None,  # opt state sharding inferred from candidates
+            jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), param_specs),
+            None, None, None,
+        ),
+        out_shardings=(cand_sharding, None, None),
+    )
+    return jitted, param_specs

@@ -67,6 +67,48 @@ def test_sharded_user_aggregate_matches_sequential():
 
 
 @requires_multidevice
+def test_sharded_attack_step_runs():
+    """The explicitly-sharded attack step compiles and advances candidates."""
+    import jax.numpy as jnp
+
+    from breaching_tpu.attacks.auxiliaries.objectives import Euclidean
+    from breaching_tpu.cases.models import construct_model
+    from breaching_tpu.config.loader import ConfigNode
+    from breaching_tpu.parallel import make_mesh, sharded_attack_step, shard_pytree
+    from breaching_tpu.parallel.mesh import params_partition_specs
+    import optax
+
+    cfg_data = ConfigNode(
+        name="CIFAR10", modality="vision", task="classification", classes=10,
+        shape=[3, 8, 8], normalize=True, mean=[0.5] * 3, std=[0.25] * 3,
+        path="~/x", size=100, examples_from_split="validation",
+        partition="none", default_clients=1, batch_size=4, caching=False)
+    model, loss_fn = construct_model("ConvNetSmall16", cfg_data, key=jax.random.PRNGKey(0))
+    x_true = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    labels = jnp.asarray([0, 1])
+
+    def task(p, x):
+        out, _ = model.apply(p, {}, x, train=False)
+        return loss_fn(out, labels)
+
+    target = jax.grad(task)(model.params, x_true)
+    objective = Euclidean(scale=1.0)
+    objective.initialize(loss_fn, model, None, None)
+
+    mesh = make_mesh(8)
+    opt = optax.adam(0.1)
+    step_fn, specs = sharded_attack_step(model, loss_fn, objective, mesh,
+                                         model.params, optimizer=opt)
+    params = shard_pytree(model.params, mesh, specs)
+    target = shard_pytree(target, mesh, specs)
+    candidates = jax.random.normal(jax.random.PRNGKey(2), (8, 2, 8, 8, 3))
+    opt_state = jax.vmap(opt.init)(candidates)
+    new_c, new_s, vals = step_fn(candidates, opt_state, params, {}, target, labels)
+    assert new_c.shape == candidates.shape
+    assert np.isfinite(np.asarray(vals)).all()
+
+
+@requires_multidevice
 def test_sharded_matches_single_device():
     """The sharded attack step must produce the same values as unsharded."""
     import jax.numpy as jnp
