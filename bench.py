@@ -50,6 +50,20 @@ def main():
 
     metrics = breaching.analysis.report(rec, true_data, payloads, server.model,
                                         cfg_case=cfg.case, setup=setup)
+
+    # secondary: small-model throughput (ConvNet CIFAR shapes)
+    cfg2 = breaching.get_config([
+        "case=1_single_image_small", "attack=invertinggradients",
+        "attack.optim.max_iterations=2000", "attack.optim.callback=500",
+        "case.user.provide_labels=True", "seed=7", "name=bench_small",
+    ])
+    setup2 = breaching.utils.system_startup(cfg=cfg2)
+    user2, server2, model2, loss2 = breaching.cases.construct_case(cfg2.case, setup2)
+    attacker2 = breaching.attacks.prepare_attack(server2.model, server2.loss, cfg2.attack, setup2)
+    shared2, payloads2, _ = server2.run_protocol(user2)
+    _, stats2 = attacker2.reconstruct(payloads2, shared2, server2.secrets, dryrun=False)
+    small_value = sum(stats2["chunk_iters"][1:]) / max(sum(stats2["chunk_time"][1:]), 1e-9)
+
     print(json.dumps({
         "metric": "attack_iters_per_sec_resnet18_imagenet",
         "value": round(value, 2),
@@ -59,6 +73,7 @@ def main():
             "total_wall_s": round(total, 2),
             "measured_iters": sum(iters),
             "psnr_at_600_iters": round(float(metrics["psnr"]), 2),
+            "convnet_cifar_iters_per_sec": round(small_value, 1),
         },
     }))
 

@@ -226,33 +226,47 @@ class _BaseAttacker:
         return jnp.asarray(labels)
 
     def _wainakh_whitebox_estimates(self, rec_models, num_data_points, num_classes, num_queries):
-        """Measure label impact with dummy data (reference: base_attack.py:359-386)."""
+        """Measure label impact with dummy data (reference: base_attack.py:359-386).
+
+        The reference loops the classes in Python with one autograd call each;
+        here both estimation sweeps are vmapped over the class axis and run as
+        two compiled programs."""
         from ..utils import split_key
 
-        m_impact, s_offset = 0.0, np.zeros(num_classes)
         model = rec_models[0]
         h, w, c = self.nhwc_shape
         key = split_key(self.setup)
 
-        def head_weight_grad(params, buffers, fake_data, fake_labels):
+        def head_weight_grad(fake_data, fake_labels):
             def loss(p):
-                out, _ = model.apply(p, buffers, fake_data, train=False)
+                out, _ = model.apply(p, model.buffers, fake_data, train=False)
                 return self.loss_fn(out, fake_labels)
-            grads = jax.grad(loss)(params)
+            grads = jax.grad(loss)(model.params)
             return model.head_grads(grads)[0]
 
-        head_grad_jit = jax.jit(head_weight_grad)
-        for class_idx in range(num_classes):
-            subkey = jax.random.fold_in(key, class_idx)
-            fake_data = jax.random.normal(subkey, (num_data_points, h, w, c))
-            fake_labels = jnp.full((num_data_points,), class_idx, jnp.int32)
-            w_cls = np.asarray(head_grad_jit(model.params, model.buffers, fake_data, fake_labels))
-            m_impact += w_cls.sum(axis=1).sum() * (1 + 1 / num_classes) / num_data_points / num_classes / num_queries
+        @jax.jit
+        def m_sweep(base_key):
+            def per_class(class_idx):
+                fake_data = jax.random.normal(
+                    jax.random.fold_in(base_key, class_idx), (num_data_points, h, w, c))
+                fake_labels = jnp.full((num_data_points,), class_idx, jnp.int32)
+                return head_weight_grad(fake_data, fake_labels).sum()
+            return jax.vmap(per_class)(jnp.arange(num_classes)).sum()
 
+        @jax.jit
+        def s_sweep(base_key):
             t = num_classes - 1
-            subkey2 = jax.random.fold_in(key, num_classes + class_idx)
-            fake_data = jax.random.normal(subkey2, (t, h, w, c))
-            fake_labels = jnp.asarray([lab for lab in range(num_classes) if lab != class_idx], jnp.int32)
-            w_cls = np.asarray(head_grad_jit(model.params, model.buffers, fake_data, fake_labels))
-            s_offset[class_idx] += w_cls[class_idx].sum() / t / num_queries
+            all_labels = jnp.arange(num_classes, dtype=jnp.int32)
+
+            def per_class(class_idx):
+                fake_data = jax.random.normal(
+                    jax.random.fold_in(base_key, num_classes + class_idx), (t, h, w, c))
+                # all labels except class_idx, as a static-shape selection
+                shifted = jnp.where(all_labels >= class_idx, all_labels + 1, all_labels)[:t]
+                w_cls = head_weight_grad(fake_data, shifted)
+                return w_cls[class_idx].sum() / t
+            return jax.vmap(per_class)(jnp.arange(num_classes))
+
+        m_impact = float(m_sweep(key)) * (1 + 1 / num_classes) / num_data_points / num_classes / num_queries
+        s_offset = np.asarray(s_sweep(key)) / num_queries
         return m_impact, s_offset

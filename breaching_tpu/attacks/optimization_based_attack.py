@@ -353,40 +353,47 @@ class OptimizationBasedAttacker(_BaseAttacker):
         stats.setdefault("chunk_iters", [])
         stats.setdefault("chunk_time", [])
         current_wallclock = time.time()
-        while iteration < max_iterations:
-            length = min(callback, max_iterations - iteration)
-            if trace_dir and not traced and stats["chunk_iters"]:
-                from jax import profiler as jax_profiler
+        # impl.JIT=False runs the scan eagerly for debugging (reference's `JIT`
+        # impl knob, case/impl/default.yaml:24)
+        import contextlib
 
-                with jax_profiler.trace(str(trace_dir)):
+        jit_context = jax.disable_jit() if self.cfg.impl.get("JIT") is False \
+            else contextlib.nullcontext()
+        with jit_context:
+            while iteration < max_iterations:
+                length = min(callback, max_iterations - iteration)
+                if trace_dir and not traced and stats["chunk_iters"]:
+                    from jax import profiler as jax_profiler
+
+                    with jax_profiler.trace(str(trace_dir)):
+                        carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration), length)
+                        jax.block_until_ready(values)
+                    traced = True
+                    log.info(f"Saved profiler trace of one attack chunk to {trace_dir}.")
+                else:
                     carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration), length)
-                    jax.block_until_ready(values)
-                traced = True
-                log.info(f"Saved profiler trace of one attack chunk to {trace_dir}.")
-            else:
-                carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration), length)
-            values = np.asarray(values)       # [trials, chunk] — blocks until chunk done
-            task_losses = np.asarray(task_losses)
-            iteration += length
-            for t in range(num_trials):
-                stats[f"Trial_{t}_Val"].extend(values[t].tolist())
-            timestamp = time.time()
-            elapsed = timestamp - current_wallclock
-            stats["chunk_iters"].append(length)
-            stats["chunk_time"].append(elapsed)
-            log.info(
-                f"| It: {iteration} | Rec. loss: {values[:, -1].mean():2.4f} | "
-                f"Task loss: {task_losses[:, -1].mean():2.4f} | T: {elapsed:4.2f}s | "
-                f"{num_trials * length / max(elapsed, 1e-9):,.1f} it/s")
-            current_wallclock = timestamp
-            if ckpt_path and ckpt_every and len(stats["chunk_iters"]) % ckpt_every == 0:
-                from ..utils_checkpoint import save_attack_state
+                values = np.asarray(values)       # [trials, chunk] — blocks until chunk done
+                task_losses = np.asarray(task_losses)
+                iteration += length
+                for t in range(num_trials):
+                    stats[f"Trial_{t}_Val"].extend(values[t].tolist())
+                timestamp = time.time()
+                elapsed = timestamp - current_wallclock
+                stats["chunk_iters"].append(length)
+                stats["chunk_time"].append(elapsed)
+                log.info(
+                    f"| It: {iteration} | Rec. loss: {values[:, -1].mean():2.4f} | "
+                    f"Task loss: {task_losses[:, -1].mean():2.4f} | T: {elapsed:4.2f}s | "
+                    f"{num_trials * length / max(elapsed, 1e-9):,.1f} it/s")
+                current_wallclock = timestamp
+                if ckpt_path and ckpt_every and len(stats["chunk_iters"]) % ckpt_every == 0:
+                    from ..utils_checkpoint import save_attack_state
 
-                save_attack_state(ckpt_path, carry, iteration)
-            if not np.isfinite(values[:, -1]).any():
-                log.info(f"Recovery loss is non-finite in iteration {iteration}. "
-                         f"Cancelling reconstruction!")
-                break
+                    save_attack_state(ckpt_path, carry, iteration)
+                if not np.isfinite(values[:, -1]).any():
+                    log.info(f"Recovery loss is non-finite in iteration {iteration}. "
+                             f"Cancelling reconstruction!")
+                    break
 
         _, _, best, best_val, _ = carry
         return jax.device_get(best), np.asarray(best_val), stats
