@@ -63,13 +63,17 @@ class MaliciousModelServer(HonestServer):
             c, h, w = self.cfg_data.shape
             data_shape = (h, w, c)  # NHWC
         else:
-            data_shape = tuple(self.cfg_data.shape)
+            # text: the block sits after the embedding, on (seq, embed_dim)
+            data_shape = (int(self.cfg_data.shape[0]), int(model.aux["ninp"]))
 
         kwargs = dict(num_bins=int(cfg_mod.num_bins), connection=cfg_mod.get("connection", "linear"))
         for field in ("gain", "linfunc", "mode", "mu", "sigma", "scale_factor", "target_val"):
             if cfg_mod.get(field) is not None and field in {f.name for f in dataclasses.fields(block_cls)}:
                 kwargs[field] = cfg_mod[field]
         block = block_cls(data_shape=data_shape, **kwargs)
+
+        if modality == "text":
+            return self._vet_text_model(model, block, data_shape)
 
         wrapped = ImprintedModel(block=block, victim=model.module)
         new_model = dataclasses.replace(
@@ -105,6 +109,34 @@ class MaliciousModelServer(HonestServer):
         self.loss = self.loss  # unchanged
         for _ in range(int(self.cfg_server.get("normalize_rounds", 0) or 0)):
             self._normalize_throughput(new_model)
+        return new_model
+
+    def _vet_text_model(self, model, block, data_shape):
+        """Rebuild the transformer with the imprint block after its embedding
+        (the functional counterpart of the reference's deeper `position`
+        placement for text, servers.py:240-278)."""
+        from ..models.language_models import TransformerModel
+
+        if not isinstance(model.module, TransformerModel):
+            raise ValueError(
+                f"Text imprint placement is implemented for the flax TransformerModel "
+                f"family (got {model.name}).")
+        module = model.module.clone(imprint_block=block)
+        new_model = dataclasses.replace(model, module=module)
+        variables = module.init(jax.random.PRNGKey(0), model.input_example, train=False)
+        new_params = dict(variables["params"])
+        for key, val in model.params.items():  # keep the victim's parameters
+            new_params[key] = val
+        new_model.params = new_params
+        new_model.buffers = model.buffers
+
+        self.secrets["ImprintBlock"] = dict(
+            weight_path=("imprint_block", "linear0_kernel"),
+            bias_path=("imprint_block", "linear0_bias"),
+            shape=data_shape,
+            structure=block.structure,
+        )
+        self.model = new_model
         return new_model
 
     def _normalize_throughput(self, model):

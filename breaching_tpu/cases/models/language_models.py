@@ -76,7 +76,13 @@ class EncoderLayer(nn.Module):
 
 class TransformerModel(nn.Module):
     """Encoder-style LM with fixed or learnable positional embeddings and an
-    optionally tied decoder (reference: TransformerModel:148-200)."""
+    optionally tied decoder (reference: TransformerModel:148-200).
+
+    `imprint_block` is the functional counterpart of the reference's deeper
+    malicious-block placement for text (MaliciousModelServer `position` option):
+    it runs on the embedded sequence right after the token lookup, so the
+    Robbing-the-Fed readout recovers embedding sequences and re-identifies tokens.
+    """
 
     ntokens: int
     ninp: int
@@ -87,6 +93,7 @@ class TransformerModel(nn.Module):
     tie_weights: bool = False
     norm_first: bool = False
     max_len: int = 1024
+    imprint_block: nn.Module | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -99,6 +106,8 @@ class TransformerModel(nn.Module):
             h = embedding[x]
         else:
             h = x  # 'run-embedding' attack path: embeddings fed directly
+        if self.imprint_block is not None:
+            h = self.imprint_block(h, train=train)
         T = h.shape[1]
 
         if self.positional_embedding == "fixed":

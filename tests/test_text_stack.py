@@ -77,6 +77,28 @@ def test_decepticon_readout_recovers_tokens():
     assert metrics["accuracy"] > 0.3, metrics
 
 
+def test_imprint_attack_on_text():
+    """Robbing-the-Fed with the block after the embedding recovers the exact
+    token sequence (reference benchmark: token acc 0.86 on wikitext)."""
+    cfg = breaching.get_config([
+        "case=10_causal_lang_training", "attack=imprint",
+        "case/server=malicious-model-rtf", "case/data=random-tokens",
+        "case.data.task=causal-lm", "case.model=transformer3",
+        "case.data.shape=[12]", "case.data.vocab_size=512",
+        "case.data.default_clients=40",
+        "case.server.model_modification.num_bins=48",
+        "case.user.num_data_points=1", "seed=4",
+    ])
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    attacker = breaching.attacks.prepare_attack(server.model, server.loss, cfg.attack, setup)
+    shared, payloads, true_data = server.run_protocol(user)
+    rec, stats = attacker.reconstruct(payloads, shared, server.secrets)
+    metrics = breaching.analysis.report(rec, true_data, payloads, server.model,
+                                        cfg_case=cfg.case, setup=setup)
+    assert metrics["accuracy"] > 0.9, metrics
+
+
 def test_text_metrics_oracle():
     from breaching_tpu.analysis.text_metrics import bleu, rouge_n, run_text_metrics
 
