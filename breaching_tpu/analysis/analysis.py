@@ -84,11 +84,14 @@ def _run_vision_metrics(rec_data, true_data, server_payload, model,
     )
 
     if compute_full_iip and cfg_case is not None:
-        out["IIP-pixel"] = float(_compute_iip(rec_den, ref_den, cfg_case))
+        out.update(_compute_iip(rec_den, ref_den, cfg_case, model=model))
     return out
 
 
-def _compute_iip(rec_den, ref_den, cfg_case):
+def _compute_iip(rec_den, ref_den, cfg_case, model=None, scores=("pixel", "self")):
+    """IIP in pixel space and (optionally) the attacked model's own feature space
+    — the reference's 'self' scorer (metrics.py:245-295; its LPIPS scorer needs
+    pretrained feature nets unavailable offline)."""
     from ..cases.data import construct_dataloader
 
     loader = construct_dataloader(cfg_case.data, cfg_case.impl,
@@ -102,7 +105,26 @@ def _compute_iip(rec_den, ref_den, cfg_case):
             break
     pool = np.concatenate(pool)[:256]
     pool_den = np.clip(pool * ds + dm, 0, 1)
-    return M.image_identifiability_precision(rec_den, ref_den, jnp.asarray(pool_den))
+    out = {}
+    if "pixel" in scores:
+        out["IIP-pixel"] = float(M.image_identifiability_precision(
+            rec_den, ref_den, jnp.asarray(pool_den)))
+    if "self" in scores and model is not None:
+        from ..attacks.auxiliaries.regularizers import _find_sown
+
+        @jax.jit
+        def feats(x):
+            _, aux = model.apply(model.params, model.buffers,
+                                 (x - dm) / ds, train=False, capture=True)
+            f = _find_sown(aux.get("intermediates", {}), "features")
+            return f.reshape(x.shape[0], -1)
+
+        try:
+            out["IIP-self"] = float(M.image_identifiability_precision(
+                feats(rec_den), feats(ref_den), feats(jnp.asarray(pool_den))))
+        except (TypeError, AttributeError):  # model without sown features
+            pass
+    return out
 
 
 def _run_text_metrics(rec_data, true_data, server_payload, model, order_batch):
