@@ -87,6 +87,10 @@ class DecepticonAttacker(AnalyticAttacker):
         else:
             sentence_labels = np.zeros(len(breached), np.int64)
 
+        if self.cfg.get("sentence_based_backfill") and len_data > 1:
+            breached, sentence_labels = self._sentence_backfill(
+                breached, sentence_labels, (len_data, seq_len), v)
+
         # all further matching on the [v:-1] content slice (reference:208-211)
         breached_c = breached[:, v:-1].copy()
         positional_c = positional[:, v:-1]
@@ -203,11 +207,66 @@ class DecepticonAttacker(AnalyticAttacker):
         return np.asarray(_positional_table(model.module, params, seq_len))
 
     def _cluster_sentences(self, keys, num_sentences):
-        """K-means on sentence-key components (reference clustering zoo:624-757)."""
+        """Sentence disambiguation on the key components (reference clustering
+        zoo: analytic_attack.py:624-757 — constrained k-means / k-medoids /
+        dynamic threshold / fcluster). 'threshold'/'fcluster' use hierarchical
+        clustering on correlation distance; 'k-medoids' and the default map to
+        k-means (medoid refinement changes assignments only at the margin)."""
+        algorithm = self.cfg.get("sentence_algorithm", "k-means") or "k-means"
+        if algorithm in ("threshold", "fcluster", "dynamic-threshold"):
+            from scipy.cluster.hierarchy import fcluster, linkage
+
+            normed = (keys - keys.mean(axis=1, keepdims=True))
+            normed = normed / np.maximum(np.linalg.norm(normed, axis=1, keepdims=True), 1e-10)
+            link = linkage(normed, method="average", metric="cosine")
+            labels = fcluster(link, t=num_sentences, criterion="maxclust") - 1
+            return labels.astype(np.int64)
         from sklearn.cluster import KMeans
 
         km = KMeans(n_clusters=num_sentences, n_init=10, random_state=0)
         return km.fit_predict(keys).astype(np.int64)
+
+    def _sentence_backfill(self, breached, sentence_labels, shape, v_len,
+                           match_t=0.75, nontrivial_t=1e-2):
+        """Replicate collided breaches into under-filled sentences when their
+        sentence-key residual still correlates with that sentence's seed
+        (reference: _sentence_backfill:521-566)."""
+        len_data, seq_len = shape
+        keys = breached[:, :v_len]
+        mean = keys.mean(axis=-1, keepdims=True)
+        std = keys.std(axis=-1, keepdims=True) + 1e-10
+        normed = (keys - mean) / std
+        seeds = np.stack([
+            np.median(normed[sentence_labels == s], axis=0)
+            if (sentence_labels == s).any() else np.zeros(v_len)
+            for s in range(len_data)])
+        unmixed = self._separate(normed, seeds[sentence_labels])
+        nontrivial = np.linalg.norm(unmixed, axis=1) > nontrivial_t
+        comp_ids = np.nonzero(nontrivial)[0]
+        components = unmixed[nontrivial]
+
+        for _ in range(seq_len):
+            counts = np.bincount(sentence_labels, minlength=len_data)
+            free = seq_len - counts
+            if free.max() <= 0 or len(components) == 0:
+                break
+            rep_seeds = np.repeat(seeds, np.maximum(free, 0), axis=0)
+            rep_labels = np.repeat(np.arange(len_data), np.maximum(free, 0))
+            if len(rep_seeds) == 0:
+                break
+            seed_idx, comp_idx, costs = self._match_embeddings(components, rep_seeds)
+            matches = costs > match_t
+            if not matches.any():
+                break
+            matched_rows = comp_ids[seed_idx[matches]]
+            breached = np.concatenate([breached, breached[matched_rows]], axis=0)
+            sentence_labels = np.concatenate(
+                [sentence_labels, rep_labels[comp_idx[matches]]])
+            components[seed_idx[matches]] = self._separate(
+                components[seed_idx[matches]], rep_seeds[comp_idx[matches]])
+            keep = np.linalg.norm(components, axis=1) > nontrivial_t
+            components, comp_ids = components[keep], comp_ids[keep]
+        return breached, sentence_labels
 
     def _match_embeddings(self, references, queries):
         """Assignment of query rows to reference rows by max |correlation|

@@ -177,14 +177,24 @@ def split_dataset(dataset: VisionDataset, cfg_data, user_idx: int, return_full_d
             raise ValueError(f"unique-class partition supports at most {cfg_data.classes} users.")
         indices = np.nonzero(labels == user_idx)[0]
     elif partition == "mixup":
-        # all users share the same half of data with shifted pairing (for mixup studies)
-        indices = np.arange(len(labels))
+        # interleave each user's chunk with its mirror from the end
+        # (reference: datasets_vision.py:107-119)
+        per_user = len(labels) // num_users
+        last = len(labels) - 1
+        pairs = []
+        for i in range(per_user):
+            pairs.append(user_idx * per_user + i)
+            pairs.append(last - user_idx * per_user - i)
+        indices = np.asarray(pairs)
     elif partition == "feat_est":
-        # one class, chunked across users (feature-estimation protocol of the fishing server)
-        cls_idx = np.nonzero(labels == 0)[0]
-        if user_idx >= len(cls_idx):
+        # chunks of one target class across users, for the fishing server's
+        # feature-estimation protocol (reference: datasets_vision.py:120-133)
+        target = int(cfg_data.get("target_label", 0) or 0)
+        points = int(cfg_data.get("num_data_points", 1) or 1)
+        cls_idx = np.nonzero(labels == target)[0]
+        indices = cls_idx[user_idx * points:(user_idx + 1) * points]
+        if len(indices) == 0:
             raise ValueError("Not enough data for feat_est user.")
-        indices = cls_idx[user_idx: user_idx + 1]
     elif partition == "random-full":
         rng = np.random.default_rng(_RANDOM_PARTITION_SEED + user_idx)
         indices = rng.permutation(len(labels))
