@@ -126,6 +126,11 @@ class ImprintAttacker(AnalyticAttacker):
     def _reformat_data(self, layer_inputs, rec_models, shared_data, server_payload, secrets):
         metadata = server_payload[0]["metadata"]
         data_shape = secrets["shape"]  # NHWC for vision
+        if "decoder" in secrets:
+            # deep placements decode recovered features back to input space
+            # (reference: analytic_attack.py:136-137)
+            layer_inputs = secrets["decoder"](layer_inputs)
+            data_shape = tuple(layer_inputs.shape[1:])
         if metadata.modality == "vision":
             inputs = layer_inputs.reshape(layer_inputs.shape[0], *data_shape)[..., :3]
             if inputs.shape[1:3] != tuple(self.data_shape[1:]):

@@ -75,6 +75,9 @@ class MaliciousModelServer(HonestServer):
         if modality == "text":
             return self._vet_text_model(model, block, data_shape)
 
+        if cfg_mod.get("position") is not None:
+            return self._vet_resnet_deep(model, block_cls, kwargs, cfg_mod)
+
         wrapped = ImprintedModel(block=block, victim=model.module)
         new_model = dataclasses.replace(
             model, module=wrapped, name=model.name,
@@ -110,6 +113,112 @@ class MaliciousModelServer(HonestServer):
         for _ in range(int(self.cfg_server.get("normalize_rounds", 0) or 0)):
             self._normalize_throughput(new_model)
         return new_model
+
+    def _vet_resnet_deep(self, model, block_cls, block_kwargs, cfg_mod):
+        """Deeper imprint placement inside a ResNet (reference
+        _place_malicious_block, servers.py:240-278): the block runs before stage
+        `position`; handle_preceding_layers='identity' linearizes the prefix to
+        an (approximate) identity map (reference _linearize_up_to_imprint,
+        servers.py:280-312), so the readout recovers downscaled images directly.
+        """
+        from ..models.resnets import ResNet
+
+        module = model.module
+        if not isinstance(module, ResNet):
+            raise ValueError(
+                f"Deep imprint placement is implemented for the flax ResNet family "
+                f"(got {model.name}).")
+        position = int(cfg_mod.position)
+        handle = cfg_mod.get("handle_preceding_layers") or "identity"
+
+        # feature-map shape entering stage `position`
+        c, h, w = self.cfg_data.shape
+        fh, fw = (h // 4, w // 4) if module.stem == "ImageNet" else (h, w)
+        feats = module.width
+        for s in range(position):
+            stride = module.strides[s]
+            fh, fw = -(-fh // stride), -(-fw // stride)
+            mult = 4 if module.block == "bottleneck" else 1
+            feats = module.width * (2 ** s) * mult
+        data_shape = (fh, fw, feats)
+
+        block = block_cls(data_shape=data_shape, **block_kwargs)
+        new_module = module.clone(imprint_block=block, imprint_position=position,
+                                  linear_prefix=(handle == "identity"))
+        new_model = dataclasses.replace(model, module=new_module)
+        variables = new_module.init(jax.random.PRNGKey(0), model.input_example, train=False)
+        new_params = dict(variables["params"])
+        for key, val in model.params.items():
+            new_params[key] = val
+        new_model.params = new_params
+        new_model.buffers = dict(model.buffers) if model.buffers else {}
+
+        if handle == "identity":
+            self._linearize_prefix(new_model, module, position)
+
+        self.secrets["ImprintBlock"] = dict(
+            weight_path=("imprint_block", "linear0_kernel"),
+            bias_path=("imprint_block", "linear0_bias"),
+            shape=data_shape,
+            structure=block.structure,
+        )
+        if handle == "VAE":
+            from .aux_training import generate_decoder
+
+            decode, _ = generate_decoder(int(np.prod(data_shape)), (h, w, c))
+            self.secrets["ImprintBlock"]["decoder"] = decode
+        self.model = new_model
+        return new_model
+
+    def _linearize_prefix(self, model, module, position):
+        """Parameter edits making the pre-block ResNet prefix an identity map
+        (reference: _linearize_up_to_imprint, servers.py:280-312): first conv ->
+        channel-replicated dirac, other prefix convs -> zero (residuals carry the
+        signal), prefix norms -> identity."""
+        params = jax.tree_util.tree_map(lambda x: np.array(x, copy=True), model.params)
+        buffers = jax.tree_util.tree_map(lambda x: np.array(x, copy=True), model.buffers or {})
+
+        def dirac_replicated(kernel):
+            kh, kw, cin, cout = kernel.shape
+            new = np.zeros_like(kernel)
+            for co in range(cout):
+                new[kh // 2, kw // 2, co % cin, co] = 1.0
+            return new
+
+        def identity_norm(name):
+            if name in params and "scale" in params[name]:
+                params[name]["scale"] = np.ones_like(params[name]["scale"])
+                params[name]["bias"] = np.zeros_like(params[name]["bias"])
+            if name in buffers and "mean" in buffers.get(name, {}):
+                buffers[name]["mean"] = np.zeros_like(buffers[name]["mean"])
+                buffers[name]["var"] = np.ones_like(buffers[name]["var"])
+
+        params["stem_conv"]["conv"]["kernel"] = dirac_replicated(
+            params["stem_conv"]["conv"]["kernel"])
+        identity_norm("stem_norm")
+        for s in range(position):
+            for name in list(params.keys()):
+                if not name.startswith(f"stage{s}_block"):
+                    continue
+                blockp = params[name]
+                for conv_name in ("conv1", "conv2", "conv3"):
+                    if conv_name in blockp:
+                        blockp[conv_name]["conv"]["kernel"] = np.zeros_like(
+                            blockp[conv_name]["conv"]["kernel"])
+                if "downsample_conv" in blockp:
+                    blockp["downsample_conv"]["conv"]["kernel"] = dirac_replicated(
+                        blockp["downsample_conv"]["conv"]["kernel"])
+                for norm_name in ("bn1", "bn2", "bn3", "downsample_norm"):
+                    if norm_name in blockp:
+                        blockp[norm_name]["scale"] = np.ones_like(blockp[norm_name]["scale"])
+                        blockp[norm_name]["bias"] = np.zeros_like(blockp[norm_name]["bias"])
+                    if name in buffers and norm_name in buffers[name]:
+                        buffers[name][norm_name]["mean"] = np.zeros_like(
+                            buffers[name][norm_name]["mean"])
+                        buffers[name][norm_name]["var"] = np.ones_like(
+                            buffers[name][norm_name]["var"])
+        model.params = jax.tree_util.tree_map(jnp.asarray, params)
+        model.buffers = jax.tree_util.tree_map(jnp.asarray, buffers) if buffers else {}
 
     def _vet_text_model(self, model, block, data_shape):
         """Rebuild the transformer with the imprint block after its embedding

@@ -46,20 +46,22 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     norm: str = "BatchNorm2d"
+    identity_nonlin: bool = False  # linearized prefix for deep imprint placement
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        act = (lambda v: v) if self.identity_nonlin else nn.relu
         residual = x
         y = Conv(self.features, strides=(self.strides, self.strides), use_bias=False, name="conv1")(x)
         y = _make_norm(self.norm, "bn1")(y, use_running_average=not train)
-        y = nn.relu(y)
+        y = act(y)
         y = Conv(self.features, use_bias=False, name="conv2")(y)
         y = _make_norm(self.norm, "bn2")(y, use_running_average=not train)
         if residual.shape != y.shape:
             residual = Conv(self.features, kernel_size=(1, 1), strides=(self.strides, self.strides),
                             use_bias=False, name="downsample_conv")(x)
             residual = _make_norm(self.norm, "downsample_norm")(residual, use_running_average=not train)
-        return nn.relu(y + residual)
+        return act(y + residual)
 
 
 class Bottleneck(nn.Module):
@@ -99,28 +101,46 @@ class ResNet(nn.Module):
     width: int = 64
     norm: str = "BatchNorm2d"
     strides: Sequence[int] = (1, 2, 2, 2)
+    # deep malicious placement (reference _place_malicious_block + linearize,
+    # servers.py:240-312): imprint_block runs before stage `imprint_position`;
+    # with linear_prefix the preceding nonlinearities become identities.
+    imprint_block: nn.Module | None = None
+    imprint_position: int = 0
+    linear_prefix: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        def prefix_act(stage_idx):
+            linear = (self.imprint_block is not None and self.linear_prefix
+                      and stage_idx < self.imprint_position)
+            return (lambda v: v) if linear else nn.relu
+
         if self.stem == "ImageNet":
             x = Conv(self.width, kernel_size=(7, 7), strides=(2, 2), use_bias=False, name="stem_conv")(x)
             x = _make_norm(self.norm, "stem_norm")(x, use_running_average=not train)
-            x = nn.relu(x)
+            x = prefix_act(0)(x)
             x = max_pool(x, 3, 2, padding=((1, 1), (1, 1)))
         else:
             x = Conv(self.width, kernel_size=(3, 3), use_bias=False, name="stem_conv")(x)
             x = _make_norm(self.norm, "stem_norm")(x, use_running_average=not train)
-            x = nn.relu(x)
+            x = prefix_act(0)(x)
 
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         features = self.width
         for stage, (num_blocks, stride) in enumerate(zip(self.layers, self.strides)):
+            if self.imprint_block is not None and stage == self.imprint_position:
+                x = self.imprint_block(x, train=train)
             for block_idx in range(num_blocks):
+                extra = {}
+                if self.block == "basic":
+                    extra = dict(identity_nonlin=self.imprint_block is not None
+                                 and self.linear_prefix and stage < self.imprint_position)
                 x = block_cls(
                     features,
                     strides=stride if block_idx == 0 else 1,
                     norm=self.norm,
                     name=f"stage{stage}_block{block_idx}",
+                    **extra,
                 )(x, train=train)
             features *= 2
 
