@@ -54,6 +54,23 @@ def test_imprint_attack_single_image_near_exact():
     assert float(psnr) > 25, f"imprint PSNR too low: {float(psnr)}"
 
 
+def test_deep_imprint_placement_with_linearized_prefix():
+    """Imprint block one stage deep in a ResNet with the prefix linearized to an
+    identity map recovers the input near-exactly (reference deep `position`
+    placement + _linearize_up_to_imprint)."""
+    rec, true_data, cfg = _run_case([
+        "case=1_single_image_small", "attack=imprint",
+        "case/server=malicious-model-rtf", "case.model=resnet20",
+        "case.data.shape=[3, 16, 16]",
+        "case.server.model_modification.position=1",
+        "case.server.model_modification.num_bins=32",
+        "case.server.model_modification.handle_preceding_layers=identity",
+        "case.user.num_data_points=1", "case.user.provide_labels=True", "seed=12",
+    ])
+    mse = float(jnp.mean(jnp.square(rec["data"] - true_data["data"])))
+    assert mse < 1e-4, f"deep imprint readout too lossy: mse={mse}"
+
+
 def test_cah_trap_attack_runs():
     rec, true_data, cfg = _run_case([
         "case=1_single_image_small", "attack=imprint",
