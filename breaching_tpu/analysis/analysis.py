@@ -62,8 +62,17 @@ def _run_vision_metrics(rec_data, true_data, server_payload, model,
     rec_den = jnp.clip(rec * ds + dm, 0, 1)
     ref_den = jnp.clip(ref * ds + dm, 0, 1)
 
+    # LPIPS scorer: available whenever converted weights exist on disk
+    # (<data.path>/checkpoints/lpips_alex.npz or $BREACHING_LPIPS_WEIGHTS);
+    # NaN otherwise. Reference: analysis.py:217-219 and lpips-based batch
+    # ordering at analysis.py:332-375.
+    from .lpips import load_lpips
+
+    lpips_scorer = load_lpips(cfg_case)
+
     if order_batch and rec.shape[0] == ref.shape[0] and rec.shape[0] > 1:
-        order = M.compute_batch_order(np.asarray(rec_den), np.asarray(ref_den))
+        order = M.compute_batch_order(np.asarray(rec_den), np.asarray(ref_den),
+                                      lpips_scorer=lpips_scorer)
         rec, rec_den = rec[order], rec_den[order]
         if rec_data.get("labels") is not None and len(np.asarray(rec_data["labels"]).shape) > 0:
             rec_data = dict(rec_data, labels=jnp.asarray(rec_data["labels"])[order])
@@ -79,21 +88,31 @@ def _run_vision_metrics(rec_data, true_data, server_payload, model,
         rpsnr=float(M.registered_psnr(rec_den, ref_den)),
         max_mse=float(jnp.max(jnp.mean(jnp.square(rec_den - ref_den),
                                        axis=tuple(range(1, rec.ndim))))),
-        lpips=float("nan"),  # torch-based LPIPS is an optional eval-only extra
+        # NaN only when no converted LPIPS weights exist on disk (zero-egress
+        # environments cannot fetch the Zhang et al. calibration); see lpips.py.
+        lpips=(float(jnp.mean(lpips_scorer(rec_den, ref_den)))
+               if lpips_scorer is not None else float("nan")),
         order=rec_data.get("order"),
     )
 
     if compute_full_iip and cfg_case is not None:
-        out.update(_compute_iip(rec_den, ref_den, cfg_case, model=model))
+        out.update(_compute_iip(rec_den, ref_den, cfg_case, model=model,
+                                lpips_scorer=lpips_scorer))
     return out
 
 
-def _compute_iip(rec_den, ref_den, cfg_case, model=None, scores=("pixel", "self")):
-    """IIP in pixel space and (optionally) the attacked model's own feature space
-    — the reference's 'self' scorer (metrics.py:245-295; its LPIPS scorer needs
-    pretrained feature nets unavailable offline)."""
+def _compute_iip(rec_den, ref_den, cfg_case, model=None, scores=("pixel", "self", "lpips"),
+                 lpips_scorer=None, pool_cap=None):
+    """IIP in pixel space, the attacked model's own feature space (the
+    reference's 'self' scorer), and LPIPS feature space when weights exist
+    (reference metrics.py:245-295). `pool_cap` limits the decoy pool; the
+    reference uses the full validation set — set cfg_case.impl.iip_pool_cap=0
+    for that behavior (default 256 keeps the 1-core runner fast)."""
     from ..cases.data import construct_dataloader
 
+    if pool_cap is None:
+        pool_cap = int(getattr(cfg_case.impl, "iip_pool_cap", 256) or 0) \
+            if hasattr(cfg_case, "impl") else 256
     loader = construct_dataloader(cfg_case.data, cfg_case.impl,
                                   user_idx=0, return_full_dataset=True)
     dm = np.asarray(cfg_case.data.mean, np.float32)
@@ -101,14 +120,20 @@ def _compute_iip(rec_den, ref_den, cfg_case, model=None, scores=("pixel", "self"
     pool = []
     for batch in loader:
         pool.append(batch["inputs"])
-        if sum(p.shape[0] for p in pool) >= 256:
+        if pool_cap and sum(p.shape[0] for p in pool) >= pool_cap:
             break
-    pool = np.concatenate(pool)[:256]
+    pool = np.concatenate(pool)
+    if pool_cap:
+        pool = pool[:pool_cap]
     pool_den = np.clip(pool * ds + dm, 0, 1)
     out = {}
     if "pixel" in scores:
         out["IIP-pixel"] = float(M.image_identifiability_precision(
             rec_den, ref_den, jnp.asarray(pool_den)))
+    if "lpips" in scores and lpips_scorer is not None:
+        out["IIP-lpips"] = float(M.image_identifiability_precision(
+            lpips_scorer.features(rec_den), lpips_scorer.features(ref_den),
+            lpips_scorer.features(jnp.asarray(pool_den))))
     if "self" in scores and model is not None:
         from ..attacks.auxiliaries.regularizers import _find_sown
 

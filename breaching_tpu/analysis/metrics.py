@@ -148,18 +148,23 @@ def image_identifiability_precision(rec_denorm, true_denorm, pool_denorm):
     return jnp.mean((nn_idx == jnp.arange(B)).astype(jnp.float32))
 
 
-def compute_batch_order(rec, ref):
+def compute_batch_order(rec, ref, lpips_scorer=None):
     """Match reconstructed to true images by solving the assignment problem on an
-    all-pairs MSE cost matrix (reference orders via LPIPS + linear_sum_assignment,
-    analysis.py:332-375; the cost matrix is computed on-device, the small
-    assignment solve stays on host)."""
+    all-pairs cost matrix (reference: analysis.py:332-375 — LPIPS cost +
+    linear_sum_assignment). The cost is LPIPS-feature distance when a scorer is
+    available, pixel MSE otherwise; the cost matrix is computed on-device, the
+    small assignment solve stays on host."""
     from scipy.optimize import linear_sum_assignment
 
     B = rec.shape[0]
     if B == 1:
         return np.asarray([0])
-    rec_flat = rec.reshape(B, -1)
-    ref_flat = ref.reshape(B, -1)
+    if lpips_scorer is not None:
+        rec_flat = lpips_scorer.features(rec)
+        ref_flat = lpips_scorer.features(ref)
+    else:
+        rec_flat = rec.reshape(B, -1)
+        ref_flat = ref.reshape(B, -1)
     cost = jax.jit(lambda a, b: jnp.mean(
         jnp.square(a[:, None, :] - b[None, :, :]), axis=-1))(ref_flat, rec_flat)
     _, order = linear_sum_assignment(np.asarray(cost))

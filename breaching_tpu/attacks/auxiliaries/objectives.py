@@ -25,12 +25,20 @@ def _leaves(tree):
     return jax.tree_util.tree_leaves(tree)
 
 
+def _f32(x):
+    # Reductions always accumulate in float32: with impl.dtype=bfloat16 the
+    # gradient leaves arrive as bf16 and the convert fuses into the reduction
+    # (one HBM pass), while the 11M-term dot/norm sums stay full-precision.
+    return x.astype(jnp.float32)
+
+
 def _dot(a, b):
-    return sum(jnp.vdot(x, y) for x, y in zip(_leaves(a), _leaves(b)))
+    return sum(jnp.vdot(_f32(x), _f32(y)) for x, y in zip(_leaves(a), _leaves(b)))
 
 
 def _sqnorm(a):
-    return sum(jnp.vdot(x, x) for x in _leaves(a))
+    x32s = [_f32(x) for x in _leaves(a)]
+    return sum(jnp.vdot(x, x) for x in x32s)
 
 
 class GradientLoss:
@@ -46,6 +54,24 @@ class GradientLoss:
         self.model = model
         self.local_hyperparams = local_hyperparams
         self.cfg_impl = cfg_impl
+        # impl.dtype=bfloat16 runs the simulated user pass (forward + backward +
+        # the attack's second-order pass through it) in bf16: ~2x less HBM
+        # traffic and native single-pass MXU convs. Matching reductions still
+        # accumulate f32 (see _dot/_sqnorm) and the candidate itself stays f32
+        # (its cotangent converts back at the cast boundary). This is the TPU
+        # analogue of the reference's `setup["dtype"]` model cast
+        # (reference breaching/utils.py:46-62, cases/__init__.py model.to()).
+        dt = str((cfg_impl or {}).get("dtype", "float") if cfg_impl else "float")
+        self.compute_dtype = jnp.bfloat16 if dt in ("bfloat16", "bf16") else (
+            jnp.float16 if dt in ("float16", "fp16") else None)
+
+    def _cast_tree(self, tree):
+        if self.compute_dtype is None or tree is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(self.compute_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree)
 
     def grad_fn(self, params, buffers, candidate, labels, bn_train=False, capture=False):
         """Differentiable simulated user update for the candidate data.
@@ -55,16 +81,27 @@ class GradientLoss:
         (reference: _grad_fn_multi_step).
         """
         if self.local_hyperparams is None:
+            params_c = self._cast_tree(params)
+            buffers_c = self._cast_tree(buffers)
+            cast_candidate = (candidate.astype(self.compute_dtype)
+                              if self.compute_dtype is not None else candidate)
+
             def task_loss_fn(p):
-                outputs, aux = self.model.apply(p, buffers, candidate, train=bn_train, capture=capture)
-                return self.loss_fn(outputs, labels), aux
-            (task_loss, aux), grads = jax.value_and_grad(task_loss_fn, has_aux=True)(params)
+                outputs, aux = self.model.apply(p, buffers_c, cast_candidate,
+                                                train=bn_train, capture=capture)
+                # loss always in f32: logits are tiny, log-softmax is not
+                return self.loss_fn(outputs.astype(jnp.float32), labels), aux
+            (task_loss, aux), grads = jax.value_and_grad(task_loss_fn, has_aux=True)(params_c)
             return grads, task_loss, aux.get("intermediates", {})
 
         lr = self.local_hyperparams["lr"]
         steps = self.local_hyperparams["steps"]
         data_per_step = self.local_hyperparams["data_per_step"]
         step_labels = self.local_hyperparams["labels"]  # [steps, data_per_step] array
+        params = self._cast_tree(params)
+        buffers = self._cast_tree(buffers)
+        if self.compute_dtype is not None:
+            candidate = candidate.astype(self.compute_dtype)
         num_points = candidate.shape[0]
         idx = (jnp.arange(steps * data_per_step) % num_points).reshape(steps, data_per_step)
 
@@ -74,7 +111,7 @@ class GradientLoss:
 
             def task_loss_fn(q):
                 outputs, aux = self.model.apply(q, buffers, batch, train=bn_train, capture=False)
-                return self.loss_fn(outputs, lab)
+                return self.loss_fn(outputs.astype(jnp.float32), lab)
 
             task_loss, grads = jax.value_and_grad(task_loss_fn)(p)
             p = jax.tree_util.tree_map(lambda a, g: a - lr * g, p, grads)

@@ -416,19 +416,34 @@ class MaliciousClassParameterServer(HonestServer):
             avg_feature = np.asarray(
                 reconstruct_feature(tmp_shared, target_cls, self.model)).reshape(-1)
 
-            feature_loc = int(np.argmax(avg_feature))
-            attack_state = dict(feature_loc=feature_loc,
-                                feature_val=float(avg_feature[feature_loc]),
-                                num_target_data=len(target_indx),
-                                num_data_points=num_data)
-            single_grads = self.one_shot_binary_attack(user, target_cls, attack_state)
+            single_grads, feature_loc = None, -1
+            masked_feature = avg_feature.copy()
+            while single_grads is None:
+                feature_loc = int(np.argmax(masked_feature))
+                attack_state = dict(feature_loc=feature_loc,
+                                    feature_val=float(masked_feature[feature_loc]),
+                                    num_target_data=len(target_indx),
+                                    num_data_points=num_data)
+                if cfg.get("one_shot_binary_attack", True):
+                    single_grads = self.one_shot_binary_attack(user, target_cls, attack_state)
+                else:
+                    # full recursive search: recovers EVERY colliding example
+                    # (reference: binary_attack, servers.py:741-826)
+                    single_grads = self.binary_attack(user, target_cls, attack_state)
+                if single_grads is None:  # too many queries on this feature: try next
+                    masked_feature[feature_loc] = -1000.0
+                    log.info(f"Feature {feature_loc} exhausted after "
+                             f"{user.counted_queries} queries; trying the next one.")
 
             self.reconfigure_for_feature_attack(
                 attack_state["feature_val"], feature_loc, target_classes=target_cls,
                 allow_reset_param_weights=True)
             payload = self.distribute_payload()
 
-            grad_i = list(reversed(single_grads))[int(cfg.grad_idx)]
+            # single_grads is ordered most-confident-first (largest recovered
+            # feature first), the same order as the reference's
+            # `list(reversed(recovered_single_gradients))` (servers.py:662).
+            grad_i = single_grads[int(cfg.grad_idx)]
             shared = dict(gradients=grad_i, buffers=tmp_shared["buffers"],
                           metadata=dict(tmp_shared["metadata"],
                                         num_data_points=1,
@@ -443,8 +458,10 @@ class MaliciousClassParameterServer(HonestServer):
         return final_shared, final_payload, true_user_data
 
     def one_shot_binary_attack(self, user, cls_to_obtain, attack_state):
-        """Fixpoint iteration on the feature cutoff until only the largest-feature
-        datapoint contributes (reference: servers.py:716-739)."""
+        """Fixpoint iteration on the feature cutoff: querying at the current
+        subset mean shrinks the contributing (below-cutoff) subset until it is
+        stable — typically the smallest-feature datapoint alone
+        (reference: servers.py:716-739)."""
         from .classattack_utils import check_with_tolerance, reconstruct_feature
 
         cfg = self.cfg_server
@@ -465,8 +482,13 @@ class MaliciousClassParameterServer(HonestServer):
                                     threshold=float(cfg.feat_threshold)):
                 break
         attack_state["feature_val"] = feature_val
-        # rescale the averaged gradient back to a single-example gradient
-        grads = shared["gradients"]
+        return [self._rescale_to_cumulative(shared["gradients"], num_data_points)]
+
+    def _rescale_to_cumulative(self, grads, num_data_points):
+        """Undo the batch mean: the user averaged over num_data_points examples,
+        but only the examples above the feature cutoff contributed. Also undo the
+        feat_multiplier amplification on non-bias leaves (reference:735-738)."""
+        cfg = self.cfg_server
         head = self.model.head_path
 
         def rescale(path, leaf):
@@ -475,8 +497,85 @@ class MaliciousClassParameterServer(HonestServer):
                 return leaf * num_data_points
             return leaf * num_data_points / float(cfg.feat_multiplier)
 
-        grads = jax.tree_util.tree_map_with_path(rescale, grads)
-        return [grads]
+        return jax.tree_util.tree_map_with_path(rescale, grads)
+
+    def binary_attack(self, user, cls_to_obtain, attack_state):
+        """Recursive cutoff bisection: recover a single gradient for EVERY
+        colliding example of the target class (reference: binary_attack +
+        binary_attack_recursion, servers.py:741-826).
+
+        Mechanics (verified empirically, matches Wen et al.): with the feature
+        head installed, examples whose feature is well ABOVE the cutoff saturate
+        the target logit (p_t -> 1, so dL/dz_t -> 0) and drop out of the
+        gradient; examples below contribute with dL/dz_t ~= -1 independent of
+        the exact cutoff. A query at cutoff c therefore yields the cumulative
+        gradient of the examples below c (plus the softmax transition width
+        ~15/feat_multiplier), and the mean feature of that lower subset.
+        Bisecting between a cutoff and its response (and mirroring above)
+        discovers cutoffs separating consecutive examples; differencing the
+        cumulative gradients of consecutive ascending cutoffs isolates single
+        examples — valid because contributor gradients are cutoff-independent
+        in the saturated regime.
+
+        Returns singles ordered most-confident-first (largest feature first,
+        the order of the reference's `reversed(recovered_single_gradients)`),
+        or None after num_target_data**2 queries without enough distinct
+        subsets (the caller then retries on the next-best feature).
+        """
+        from .classattack_utils import check_with_tolerance, reconstruct_feature
+
+        cfg = self.cfg_server
+        thresh = float(cfg.feat_threshold)
+        loc = attack_state["feature_loc"]
+        n_target = attack_state["num_target_data"]
+        num_data_points = attack_state["num_data_points"]
+        max_queries = max(n_target ** 2, 4)
+
+        accepted = []          # (cutoff, cumulative grads) with distinct responses
+        visited_responses = []
+        queries = 0
+        frontier = [attack_state["feature_val"]]
+        while frontier and len(accepted) < n_target and queries < max_queries:
+            next_frontier = []
+            for cutoff in frontier:
+                if len(accepted) >= n_target or queries >= max_queries:
+                    break
+                self.reconfigure_for_feature_attack(cutoff, loc,
+                                                    target_classes=cls_to_obtain)
+                payload = self.distribute_payload()
+                shared, _ = user.compute_local_updates(payload)
+                queries += 1
+                response = float(np.asarray(
+                    reconstruct_feature(shared, cls_to_obtain, self.model)).reshape(-1)[loc])
+                if not np.isfinite(response) or abs(response) < 1e-12:
+                    continue  # empty subset: nothing below this cutoff
+                if not check_with_tolerance(response, visited_responses, thresh):
+                    visited_responses.append(response)
+                    if not check_with_tolerance(cutoff, [c for c, _ in accepted], thresh):
+                        accepted.append((cutoff, self._rescale_to_cumulative(
+                            shared["gradients"], num_data_points)))
+                    # bisect inside the lower subset and mirror above it
+                    mirror = 2 * cutoff - response
+                    for cand in (response, mirror, (cutoff + mirror) / 2,
+                                 (cutoff + response) / 2):
+                        if not check_with_tolerance(
+                                cand, visited_responses + next_frontier, thresh):
+                            next_frontier.append(cand)
+            frontier = next_frontier
+        log.info(f"Binary attack: {len(accepted)} distinct subsets from "
+                 f"{queries} queries (target {n_target}).")
+        if len(accepted) < n_target:
+            return None
+
+        # ascending cutoffs: accepted[0] holds the single smallest-feature
+        # example, each later cumulative gradient adds one more example above.
+        accepted.sort(key=lambda item: item[0])
+        singles = [accepted[0][1]]
+        for (_, cum), (_, prev) in zip(accepted[1:], accepted[:-1]):
+            singles.append(jax.tree_util.tree_map(
+                lambda a, b: a - b, cum, prev))
+        # most-confident-first: largest-feature example leads
+        return list(reversed(singles))
 
     def estimate_feat(self, additional_users, target_class=None):
         """Collect target-class features across users (reference: servers.py:828-851)."""
