@@ -166,6 +166,9 @@ def _label_accuracy(rec_data, true_data, metadata):
         return float("nan")
     rec_labels = np.asarray(rec_labels).reshape(-1)
     true_labels = np.asarray(true_labels).reshape(-1)
+    # masked-lm labels carry an ignore index (-100) on unmasked positions
+    rec_labels = rec_labels[rec_labels >= 0]
+    true_labels = true_labels[true_labels >= 0]
     num_classes = int(max(rec_labels.max(initial=0), true_labels.max(initial=0))) + 1
     overlap = np.minimum(
         np.bincount(rec_labels, minlength=num_classes),

@@ -65,10 +65,14 @@ class DecepticonAttacker(AnalyticAttacker):
         embedding_table = np.asarray(_fetch(model.params, model.aux["registry"]["embedding"]))
         leaked = np.asarray(tokens).reshape(-1) if tokens is not None else None
 
-        breached, strength = self._extract_breaches(shared_data[0]["gradients"], secrets)
-        order = np.argsort(-strength)
+        breached, preference, valid = self._extract_breaches(
+            shared_data[0]["gradients"], secrets)
+        candidates = np.nonzero(valid)[0]
+        # too many rows can activate (noise / boundary rounding); keep the
+        # len_data*seq_len most plausible per cfg.breach_reduction
+        # (reference: analytic_attack.py:370-397)
+        order = candidates[np.argsort(-preference[candidates])]
         keep = order[: len_data * seq_len]
-        keep = keep[strength[keep] > 0]
         breached = breached[keep]
         log.info(f"Extracted {len(breached)} breached states with signal.")
         if len(breached) == 0:
@@ -83,7 +87,7 @@ class DecepticonAttacker(AnalyticAttacker):
 
         # sentence separation on the raw sentence-key components (reference:190-200)
         if len_data > 1:
-            sentence_labels = self._cluster_sentences(breached[:, :v], len_data)
+            sentence_labels = self._cluster_sentences(breached[:, :v], len_data, seq_len)
         else:
             sentence_labels = np.zeros(len(breached), np.int64)
 
@@ -120,7 +124,9 @@ class DecepticonAttacker(AnalyticAttacker):
                 recovered_tokens[sentence * seq_len + pos_idx] = breach_tokens[mask][row_idx]
                 slot_costs[sentence * seq_len + pos_idx] = breach_costs[mask][row_idx] * pos_costs
             final_tokens = recovered_tokens.reshape(len_data, seq_len)
-            confidence = np.clip(slot_costs, 0, 1).reshape(len_data, seq_len)
+            confidence = self._compute_confidence_estimates(
+                final_tokens, breached_c, embedding_table, pos_table,
+                norm_scale, norm_bias, v)
             return dict(data=jnp.asarray(final_tokens), labels=tokens,
                         confidence=jnp.asarray(confidence)), stats
 
@@ -157,16 +163,21 @@ class DecepticonAttacker(AnalyticAttacker):
                 embedding_table, norm_scale, norm_bias, v, weight)
 
         final_tokens = recovered_tokens.reshape(len_data, seq_len)
-        confidence = np.clip(slot_costs, 0, 1).reshape(len_data, seq_len)
+        confidence = self._compute_confidence_estimates(
+            final_tokens, breached_c, embedding_table, pos_table,
+            norm_scale, norm_bias, v)
         return dict(data=jnp.asarray(final_tokens), labels=tokens,
                     confidence=jnp.asarray(confidence)), stats
 
     # ------------------------------------------------------------------ pieces
 
     def _first_norm_params(self, model):
-        """(scale, bias) of the first block's post-attention LayerNorm."""
+        """(scale, bias) of the LayerNorm the imprinted FF input passes through:
+        norm1 for post-LN blocks (ff_input = norm1(x + attn)), norm2 for
+        pre-LN/gpt2-style blocks (ff_input = norm2(x + attn(norm1(x))))."""
+        norm_name = "norm2" if getattr(model.module, "norm_first", False) else "norm1"
         try:
-            norm = model.params["layer0"]["norm1"]
+            norm = model.params["layer0"][norm_name]
             return np.asarray(norm["scale"]), np.asarray(norm["bias"])
         except (KeyError, TypeError):
             dim = model.aux.get("ninp", 96)
@@ -174,31 +185,54 @@ class DecepticonAttacker(AnalyticAttacker):
 
     def _extract_breaches(self, gradients, secrets):
         """FF imprint gradients -> breached hidden states
-        (reference: _extract_breaches:324-397). flax kernels are (D, H)."""
+        (reference: _extract_breaches:324-397). flax kernels are (D, H).
+
+        Bin k of the cumulative structure fires for every state whose
+        measurement exceeds bin k, so grad_k - grad_{k+1} isolates the states
+        in [bin_k, bin_{k+1}). The flow-through eps makes these gradients tiny
+        (~1e-10), so validity is a RELATIVE threshold: plateaus between states
+        difference to exactly zero (identical contributing sums), real jumps
+        sit ~1e6 x above float32 rounding glitches at layer boundaries.
+
+        Returns (states, preference, valid): higher preference = kept first
+        under cfg.breach_reduction ('bias' prefers the smallest |bias| jumps —
+        least likely to be collided rows; 'weight'/'total-weight' prefer
+        heavy weight rows; reference:375-390)."""
         weight_rows, bias_rows = [], []
         for w_path in secrets["weight_paths"]:
             layer = _fetch(gradients, w_path)
-            weight_rows.append(np.asarray(layer["kernel"]).T)   # (H, D)
-            bias_rows.append(np.asarray(layer["bias"]))
+            weight_rows.append(np.asarray(layer["kernel"], np.float64).T)   # (H, D)
+            bias_rows.append(np.asarray(layer["bias"], np.float64))
         weights = np.concatenate(weight_rows, axis=0)           # (bins, D)
         biases = np.concatenate(bias_rows, axis=0)              # (bins,)
 
         if secrets["structure"] == "cumulative":
-            weights = np.concatenate([weights[:1], weights[1:] - weights[:-1]], axis=0)
-            biases = np.concatenate([biases[:1], biases[1:] - biases[:-1]])
+            weights = np.concatenate([weights[:-1] - weights[1:], weights[-1:]], axis=0)
+            biases = np.concatenate([biases[:-1] - biases[1:], biases[-1:]])
         elif secrets["structure"] == "cumulative-per-layer":
             # bins are cumulative within each layer's block (bin_setup separate/repeat)
             H = int(secrets["hidden_dim"])
             for start in range(0, len(biases), H):
-                block_w = weights[start:start + H]
-                block_b = biases[start:start + H]
-                weights[start + 1:start + H] = block_w[1:] - block_w[:-1]
-                biases[start + 1:start + H] = block_b[1:] - block_b[:-1]
+                block_w = weights[start:start + H].copy()
+                block_b = biases[start:start + H].copy()
+                weights[start:start + H - 1] = block_w[:-1] - block_w[1:]
+                biases[start:start + H - 1] = block_b[:-1] - block_b[1:]
 
-        valid = np.abs(biases) > 1e-10
+        mags = np.abs(biases)
+        valid = mags > mags.max(initial=0.0) * 1e-6
         safe_bias = np.where(valid, biases, np.inf)
-        states = weights / safe_bias[:, None]
-        return states, np.abs(np.where(valid, biases, 0.0))
+        states = (weights / safe_bias[:, None]).astype(np.float32)
+
+        reduction = self.cfg.get("breach_reduction", "bias") or "bias"
+        if reduction == "bias":
+            preference = -mags                    # smallest jump first
+        elif reduction == "weight":
+            preference = np.abs(weights.mean(axis=1))
+        elif reduction == "total-weight":
+            preference = np.square(weights).sum(axis=1)
+        else:
+            raise ValueError(f"Invalid breach reduction {reduction} given.")
+        return states, preference, valid
 
     def _positional_table(self, model, seq_len):
         from ..cases.malicious.transformer_rewiring import _positional_table
@@ -206,25 +240,137 @@ class DecepticonAttacker(AnalyticAttacker):
         params = {k: np.asarray(val) for k, val in model.params.items()}
         return np.asarray(_positional_table(model.module, params, seq_len))
 
-    def _cluster_sentences(self, keys, num_sentences):
-        """Sentence disambiguation on the key components (reference clustering
-        zoo: analytic_attack.py:624-757 — constrained k-means / k-medoids /
-        dynamic threshold / fcluster). 'threshold'/'fcluster' use hierarchical
-        clustering on correlation distance; 'k-medoids' and the default map to
-        k-means (medoid refinement changes assignments only at the margin)."""
+    def _cluster_sentences(self, keys, num_sentences, seq_len=None):
+        """Sentence disambiguation on the key components — the reference's full
+        clustering zoo (analytic_attack.py:624-757): size-constrained k-means
+        (default; no cluster may exceed seq_len rows), k-medoids (PAM on the
+        correlation matrix, retried until the size constraint holds),
+        dynamic-threshold (greedy correlation grouping over a searched
+        threshold, seeds replicated seq_len times and assigned), plain
+        threshold (>=0.99 groups), fcluster (ward on 1-|corr|), and pca
+        (SVD seeds). All variants guarantee max cluster size <= seq_len."""
         algorithm = self.cfg.get("sentence_algorithm", "k-means") or "k-means"
-        if algorithm in ("threshold", "fcluster", "dynamic-threshold"):
-            from scipy.cluster.hierarchy import fcluster, linkage
+        seq_len = int(seq_len or max(len(keys) // max(num_sentences, 1), 1))
+        rng = np.random.default_rng(0)
 
-            normed = (keys - keys.mean(axis=1, keepdims=True))
-            normed = normed / np.maximum(np.linalg.norm(normed, axis=1, keepdims=True), 1e-10)
-            link = linkage(normed, method="average", metric="cosine")
-            labels = fcluster(link, t=num_sentences, criterion="maxclust") - 1
+        std = keys.std(axis=-1, keepdims=True) + 1e-10
+        normalized = (keys - keys.mean(axis=-1, keepdims=True)) / std
+
+        if algorithm == "k-means":
+            return _constrained_kmeans(normalized, num_sentences, seq_len, rng)
+        if algorithm == "k-medoids":
+            corrs = _safe_corrcoef(keys)
+            for trial in range(50):
+                labels = _pam_kmedoids(corrs, num_sentences,
+                                       np.random.default_rng(trial))
+                if np.bincount(labels, minlength=num_sentences).max() <= seq_len:
+                    return labels
+            raise AssertionError("Invalid Assignment in k-medoids")
+        if "dynamic-threshold" in algorithm:
+            comps = normalized if "normalized" in algorithm else keys
+            return self._dynamic_threshold_cluster(
+                keys, comps, num_sentences, seq_len,
+                use_median="median" in algorithm, rng=rng)
+        if algorithm == "threshold":
+            corrs = _safe_corrcoef(keys)
+            labels = np.full(len(keys), -1, np.int64)
+            assigned = set()
+            for idx in range(len(keys)):
+                if idx in assigned:
+                    continue
+                matches = np.nonzero(corrs[idx] >= 0.99)[0]
+                matches = np.asarray([m for m in matches if m not in assigned])
+                if len(matches) > seq_len:
+                    matches = matches[np.argsort(-corrs[idx][matches])[:seq_len]]
+                labels[matches] = idx
+                assigned |= set(matches.tolist())
+            # compress group ids to [0, num_sentences)
+            _, labels = np.unique(labels, return_inverse=True)
+            return labels.astype(np.int64) % num_sentences
+        if algorithm == "fcluster":
+            import scipy.cluster.hierarchy as spc
+            from scipy.spatial.distance import squareform
+
+            corrs = _safe_corrcoef(keys)
+            dissimilarity = 1 - np.abs((corrs + corrs.T) / 2)
+            np.fill_diagonal(dissimilarity, 0)
+            hierarchy = spc.linkage(squareform(dissimilarity, checks=False), method="ward")
+            labels = spc.fcluster(hierarchy, num_sentences, criterion="maxclust") - 1
+            assert np.bincount(labels).max() <= seq_len, "Invalid Assignment in fcluster"
             return labels.astype(np.int64)
-        from sklearn.cluster import KMeans
+        if "pca" in algorithm:
+            A = keys - keys.mean(axis=-1, keepdims=True)
+            U, S, Vt = np.linalg.svd(A, full_matrices=False)
+            seeds = U[:, :num_sentences].T @ A
+            if "direct" in algorithm:
+                return np.abs(U[:, :num_sentences]).argmax(axis=-1).astype(np.int64)
+            return self._assign_to_seeds(A, seeds, seq_len)
+        raise ValueError(f"Invalid sentence algorithm {algorithm} given.")
 
-        km = KMeans(n_clusters=num_sentences, n_init=10, random_state=0)
-        return km.fit_predict(keys).astype(np.int64)
+    def _assign_to_seeds(self, components, seeds, seq_len):
+        """Replicate each seed seq_len times and solve the assignment — this is
+        how the reference enforces <= seq_len rows per sentence
+        (analytic_attack.py:703-709)."""
+        replicated = np.repeat(seeds, seq_len, axis=0)
+        ref_idx, query_idx, _ = self._match_embeddings(replicated, components)
+        labels = np.zeros(len(components), np.int64)
+        labels[query_idx] = ref_idx // seq_len
+        return labels
+
+    def _dynamic_threshold_cluster(self, keys, components, num_sentences, seq_len,
+                                   use_median=False, rng=None):
+        """Greedy correlation grouping over a searched threshold
+        (reference: analytic_attack.py:656-710): find the loosest threshold at
+        which no row correlates with more than seq_len others, group greedily by
+        descending degree, seed each group by its mean/median, fill missing
+        groups with random seeds, then assign all rows to replicated seeds."""
+        corrs = _safe_corrcoef(keys)
+        upper = [1 - 1.5 ** float(n) for n in range(-96, -16)][::-1]
+        lower = (1.001 - np.geomspace(1, 0.001, 2000)[:-1]).tolist()
+        thresholds = [*lower, *upper]
+        final_threshold = thresholds[0]
+        for idx, threshold in enumerate(thresholds[::-1]):
+            if (corrs > threshold).sum(axis=-1).max() > seq_len:
+                final_threshold = thresholds[::-1][max(idx - 1, 0)]
+                break
+        else:
+            log.info(f"Cannot separate {num_sentences} seeds by thresholding!")
+
+        assigned = set()
+        groups = []
+        degree_order = np.argsort(-(corrs > final_threshold).sum(axis=-1))
+        for idx in degree_order:
+            if int(idx) in assigned or len(groups) >= num_sentences:
+                continue
+            matches = [int(m) for m in np.nonzero(corrs[idx] > final_threshold)[0]
+                       if int(m) not in assigned]
+            if matches:
+                groups.append(matches)
+                assigned |= set(matches)
+        if len(groups) < num_sentences:
+            log.info(f"Could assemble only {len(groups)} seeds at threshold "
+                     f"{final_threshold}; filling with random seeds.")
+        rng = rng or np.random.default_rng(0)
+        seeds = rng.standard_normal((num_sentences, components.shape[-1]))
+        for i, group in enumerate(groups):
+            block = components[np.asarray(group)]
+            seeds[i] = np.median(block, axis=0) if use_median else block.mean(axis=0)
+        return self._assign_to_seeds(components, seeds, seq_len)
+
+    def _compute_confidence_estimates(self, final_tokens, breached_embeddings,
+                                      embedding_table, pos_table, norm_scale,
+                                      norm_bias, v):
+        """Uncalibrated per-token confidence: correlation of each recovered
+        token's estimated first-norm embedding against the breached states
+        (reference: _compute_confidence_estimates:788-812). 1.0 indicates a
+        correct token; lower values flag likely mismatches."""
+        len_data, seq_len = final_tokens.shape
+        flat = final_tokens.reshape(-1)
+        estimated = embedding_table[flat] + np.tile(pos_table, (len_data, 1))
+        estimated = _layer_norm(estimated, norm_scale, norm_bias)[:, v:-1]
+        corr = _cross_corrcoef(estimated, breached_embeddings)
+        score = np.abs(corr) if "abs" in self.cfg.get("matcher", "abs-corrcoef") else corr
+        return score.max(axis=1).reshape(len_data, seq_len)
 
     def _sentence_backfill(self, breached, sentence_labels, shape, v_len,
                            match_t=0.75, nontrivial_t=1e-2):
@@ -351,3 +497,70 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     mean = x.mean(axis=-1, keepdims=True)
     var = x.var(axis=-1, keepdims=True)
     return (x - mean) / np.sqrt(var + eps) * scale + bias
+
+
+def _safe_corrcoef(rows):
+    corrs = np.corrcoef(np.asarray(rows, np.float64))
+    corrs[~np.isfinite(corrs)] = 0.0
+    return corrs
+
+
+def _constrained_kmeans(rows, k, size_max, rng, n_init=10, max_iter=300, tol=1e-6):
+    """Lloyd iterations with a capacity-constrained assignment step: each
+    centroid is replicated size_max times and rows are matched by
+    linear_sum_assignment, so no cluster can exceed size_max (the reference
+    uses the k_means_constrained package, analytic_attack.py:626-642)."""
+    from scipy.optimize import linear_sum_assignment
+
+    size_max = min(size_max, len(rows))
+    best_labels, best_inertia = None, np.inf
+    for init in range(n_init):
+        # k-means++ style seeding
+        centroids = [rows[rng.integers(len(rows))]]
+        for _ in range(k - 1):
+            d2 = np.min([np.sum((rows - c) ** 2, axis=1) for c in centroids], axis=0)
+            probs = d2 / max(d2.sum(), 1e-12)
+            centroids.append(rows[rng.choice(len(rows), p=probs)])
+        centroids = np.stack(centroids)
+        labels = np.zeros(len(rows), np.int64)
+        for _ in range(max_iter):
+            rep = np.repeat(centroids, size_max, axis=0)
+            cost = np.sum((rows[:, None, :] - rep[None, :, :]) ** 2, axis=-1)
+            row_ind, col_ind = linear_sum_assignment(cost)
+            new_labels = np.zeros(len(rows), np.int64)
+            new_labels[row_ind] = col_ind // size_max
+            moved = (new_labels != labels).any()
+            labels = new_labels
+            new_centroids = np.stack([
+                rows[labels == c].mean(axis=0) if (labels == c).any() else centroids[c]
+                for c in range(k)])
+            shift = float(np.sum((new_centroids - centroids) ** 2))
+            centroids = new_centroids
+            if not moved or shift < tol:
+                break
+        inertia = float(np.sum((rows - centroids[labels]) ** 2))
+        if inertia < best_inertia:
+            best_inertia, best_labels = inertia, labels
+    return best_labels
+
+
+def _pam_kmedoids(corrs, k, rng, max_iter=100):
+    """PAM-style k-medoids maximizing within-cluster correlation to the medoid
+    (the reference uses kmedoids.fasterpam on the correlation matrix,
+    analytic_attack.py:644-653)."""
+    n = corrs.shape[0]
+    medoids = rng.choice(n, size=min(k, n), replace=False)
+    labels = np.argmax(corrs[:, medoids], axis=1)
+    for _ in range(max_iter):
+        new_medoids = medoids.copy()
+        for c in range(len(medoids)):
+            members = np.nonzero(labels == c)[0]
+            if len(members) == 0:
+                continue
+            within = corrs[np.ix_(members, members)].sum(axis=1)
+            new_medoids[c] = members[int(np.argmax(within))]
+        new_labels = np.argmax(corrs[:, new_medoids], axis=1)
+        if (new_medoids == medoids).all() and (new_labels == labels).all():
+            break
+        medoids, labels = new_medoids, new_labels
+    return labels.astype(np.int64)

@@ -114,7 +114,11 @@ class TransformerModel(nn.Module):
             table = fixed_positional_encoding(self.max_len, self.ninp)
             h = h + jnp.asarray(table)[None, :T, :]
         else:
-            pos = self.param("pos_embedding", nn.initializers.normal(0.02),
+            # torch-init-parity: the reference's LearnablePositionalEmbedding is
+            # a plain nn.Embedding, i.e. N(0,1) per element
+            # (reference language_models.py:133-145). A small init here makes
+            # same-token states collide in Decepticon's measurement bins.
+            pos = self.param("pos_embedding", nn.initializers.normal(1.0),
                              (self.max_len, self.ninp))
             h = h + pos[None, :T, :]
 
@@ -223,6 +227,14 @@ def construct_text_model(cfg_model, cfg_data, key=None):
         module = LSTMModel(vocab)
     elif name == "linear":
         module = LinearLM(vocab)
+    elif name == "gpt2S":
+        # test-scale gpt2-style block: pre-LN + tied decoder (the full "gpt2"
+        # below is the paper-scale 768x12 variant)
+        module = TransformerModel(vocab, 96, 8, 1536, 3, positional_embedding="learnable",
+                                  norm_first=True, tie_weights=True)
+    elif name == "bertS":
+        # test-scale bert-style block: post-LN, untied, used with masked-lm
+        module = TransformerModel(vocab, 96, 8, 1536, 3, positional_embedding="learnable")
     elif name.startswith("hf-"):
         # exact HuggingFace Flax architecture (config-only, no weight download;
         # note: HF Flax classes are deprecated upstream and lack inputs_embeds,
