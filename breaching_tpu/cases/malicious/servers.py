@@ -111,7 +111,8 @@ class MaliciousModelServer(HonestServer):
         self.model = new_model
         self.loss = self.loss  # unchanged
         for _ in range(int(self.cfg_server.get("normalize_rounds", 0) or 0)):
-            self._normalize_throughput(new_model)
+            self._normalize_throughput(
+                new_model, gain=float(self.cfg_server.get("model_gain", 1.0) or 1.0))
         return new_model
 
     def _vet_resnet_deep(self, model, block_cls, block_kwargs, cfg_mod):
@@ -163,9 +164,36 @@ class MaliciousModelServer(HonestServer):
             structure=block.structure,
         )
         if handle == "VAE":
-            from .aux_training import generate_decoder
+            # train a decoder against the ACTUAL prefix feature map: tap the
+            # imprint block's input on the unmodified victim and fit
+            # D(prefix(x)) ~= x (reference feat_decoders.py + VAE.py)
+            from flax import linen as nn
 
-            decode, _ = generate_decoder(int(np.prod(data_shape)), (h, w, c))
+            from .aux_training import train_feature_decoder
+
+            class _Tap(nn.Module):
+                @nn.compact
+                def __call__(self, x, train=False):
+                    self.sow("intermediates", "prefix_features", x)
+                    return x
+
+            tap_module = module.clone(imprint_block=_Tap(),
+                                      imprint_position=position,
+                                      linear_prefix=False)
+            victim_params, victim_buffers = model.params, model.buffers
+
+            def prefix_fn(x):
+                variables = {"params": victim_params}
+                if victim_buffers:
+                    variables["batch_stats"] = victim_buffers
+                _, inter = tap_module.apply(variables, x, train=False,
+                                            mutable=["intermediates"])
+                return dict(inter)["intermediates"]["imprint_block"][
+                    "prefix_features"][0]
+
+            decode, _ = train_feature_decoder(
+                prefix_fn, (h, w, c), data_shape,
+                dataloader=self.external_dataloader)
             self.secrets["ImprintBlock"]["decoder"] = decode
         self.model = new_model
         return new_model
@@ -248,26 +276,98 @@ class MaliciousModelServer(HonestServer):
         self.model = new_model
         return new_model
 
-    def _normalize_throughput(self, model):
-        """Rescale victim parameters so activations keep unit scale after the
-        block insertion (reference: servers.py:314-366). Uses external or random
-        data to measure per-layer activation std and folds the correction into
-        conv/dense kernels layer by layer (one global correction here)."""
+    def _probe_batch(self):
         if self.external_dataloader is not None:
-            batch = next(iter(self.external_dataloader))["inputs"][:8]
-            x = jnp.asarray(batch)
-        else:
-            c, h, w = self.cfg_data.shape
-            x = jax.random.normal(jax.random.PRNGKey(7), (8, h, w, c))
-        out, _ = model.apply(model.params, model.buffers, x, train=False)
-        scale = jnp.std(out) + 1e-8
-        head = model.params
-        for key in model.head_path:
-            head = head[key]
-        node = head if "kernel" in head else head["dense"]
-        node["kernel"] = node["kernel"] / scale
-        if "bias" in node:
-            node["bias"] = node["bias"] / scale
+            return jnp.asarray(next(iter(self.external_dataloader))["inputs"][:8])
+        c, h, w = self.cfg_data.shape
+        return jax.random.normal(jax.random.PRNGKey(7),
+                                 (int(self.cfg_data.batch_size or 8), h, w, c))
+
+    def _normalize_throughput(self, model, gain=1.0, bn_modeset=False):
+        """Reset each layer's activation throughput to zero mean / `gain` std
+        (reference: servers.py:314-366). Walks every scale/bias-carrying layer
+        (norms, biased convs/denses) in forward execution order — captured via
+        flax `capture_intermediates` in place of torch forward hooks — measures
+        its output statistics on a probe batch, folds `scale /= std/gain`,
+        `bias -= mu/(std/gain)` into the parameters, and re-probes before the
+        next layer. Bias-less downsample convs are zeroed like the reference's
+        `downsample.0`. This is what lets CAH/RtF imprint blocks survive
+        realistic victim models without saturating later activations."""
+        x = self._probe_batch()
+        params = jax.tree_util.tree_map(np.array, model.params)
+
+        def apply_with_capture(p):
+            variables = {"params": p}
+            if model.buffers:
+                variables["batch_stats"] = model.buffers
+            if bn_modeset:  # reference's BN-statistics-only mode
+                _, updated = model.module.apply(
+                    variables, x, train=True, mutable=["batch_stats"])
+                return None, dict(updated)
+            _, inter = model.module.apply(
+                variables, x, train=False, mutable=["intermediates"],
+                capture_intermediates=lambda mdl, name: name == "__call__")
+            return dict(inter)["intermediates"], None
+
+        if bn_modeset:
+            _, updated = apply_with_capture(params)
+            model.buffers = updated.get("batch_stats", model.buffers)
+            return
+
+        # layer order = execution order (flax preserves capture insertion order)
+        def walk(tree, prefix=()):
+            order = []
+            for key, val in tree.items():
+                if isinstance(val, dict):
+                    order.extend(walk(val, prefix + (key,)))
+                elif key == "__call__":
+                    order.append(prefix)
+            return order
+
+        intermediates = apply_with_capture(params)[0]
+        execution_order = walk(intermediates)
+
+        def param_node(path):
+            node = params
+            for key in path:
+                if not isinstance(node, dict) or key not in node:
+                    return None
+                node = node[key]
+            return node if isinstance(node, dict) else None
+
+        for path in execution_order:
+            node = param_node(path)
+            if node is None:
+                continue
+            is_downsample = any("downsample" in str(k) for k in path)
+            if "kernel" in node and "bias" not in node and is_downsample \
+                    and getattr(node["kernel"], "ndim", 0) == 4:
+                node["kernel"][...] = 0.0
+                log.info(f"Reset weight in downsample {'/'.join(path)} to zero.")
+                continue
+            if "scale" in node and "bias" in node:
+                if is_downsample:  # reference skips 'downsample.1' norms
+                    continue
+                w_key = "scale"
+            elif "kernel" in node and "bias" in node \
+                    and getattr(node["kernel"], "ndim", 0) == 4:
+                # biased convs only — Dense layers (incl. the imprint block and
+                # the head) stay untouched, like the reference's Conv2d filter
+                w_key = "kernel"
+            else:
+                continue
+            intermediates = apply_with_capture(params)[0]
+            out = intermediates
+            for key in path:
+                out = out[key]
+            out = np.asarray(out["__call__"][0])
+            std, mu = float(out.std()), float(out.mean())
+            log.info(f"Layer {'/'.join(path)}: mean {mu:.4f}, std {std:.4f}.")
+            correction = std / gain + 1e-8
+            node[w_key][...] = node[w_key] / correction
+            node["bias"][...] = node["bias"] - mu / correction
+
+        model.params = jax.tree_util.tree_map(jnp.asarray, params)
 
 
 class MaliciousTransformerServer(HonestServer):

@@ -100,3 +100,28 @@ def test_joint_label_attack_recovers_label():
     assert rec["data"].shape == (1, 16, 16, 3)
     assert rec["labels"].shape == (1,)
     assert stats["Trial_0_Val"][-1] < stats["Trial_0_Val"][0]
+
+
+def test_deep_imprint_with_trained_feature_decoder():
+    """handle_preceding_layers=VAE at a stage-2 placement: the decoder is
+    trained to invert the real prefix feature map (reference feat_decoders.py),
+    so the readout returns to input space at high quality."""
+    cfg = breaching.get_config([
+        "case=1_single_image_small", "attack=imprint",
+        "case/server=malicious-model-rtf", "case.model=resnet20",
+        "case.data.shape=[3, 16, 16]",
+        "case.server.model_modification.position=2",
+        "case.server.model_modification.num_bins=32",
+        "case.server.model_modification.handle_preceding_layers=VAE",
+        "case.server.has_external_data=True",
+        "case.user.num_data_points=1", "case.user.provide_labels=True", "seed=12",
+    ])
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    attacker = breaching.attacks.prepare_attack(server.model, server.loss,
+                                                cfg.attack, setup)
+    shared, payloads, true_data = server.run_protocol(user)
+    rec, stats = attacker.reconstruct(payloads, shared, server.secrets)
+    metrics = breaching.analysis.report(rec, true_data, payloads, server.model,
+                                        cfg_case=cfg.case, setup=setup)
+    assert metrics["psnr"] > 20, metrics
