@@ -66,9 +66,10 @@ def main_process(process_idx, local_group_size, cfg):
             if cfg.dryrun:
                 break
         except Exception as e:  # noqa: BLE001 — continue the fleet on per-user failure
+            # the failed trial still consumes its slot (the reference also just
+            # logs and moves on) — retrying a persistently failing user would
+            # loop until user exhaustion
             log.info(f"Trial on user {user.user_idx} failed with {type(e).__name__}: {e}. Continuing.")
-            run -= 1
-            cfg.num_trials -= 1
 
     average_metrics = breaching.utils.avg_n_dicts(overall_metrics)
     log.info(f"Average benchmark metrics over {len(overall_metrics)} users: {average_metrics}")

@@ -112,14 +112,71 @@ def cw_ssim(rec, ref, k: float = 1e-6):
     return total / len(bank)
 
 
-def registered_psnr(rec, ref, factor: float = 1.0):
-    """Shift-robust PSNR: best PSNR over a grid of small translations/flips.
+def _affine_warp(img, theta):
+    """Bilinearly sample one NHWC-less image [H, W, C] through a 2x3 affine map
+    in normalized [-1, 1] coordinates (differentiable, jit/vmap friendly)."""
+    H, W, C = img.shape
+    ys = jnp.linspace(-1.0, 1.0, H)
+    xs = jnp.linspace(-1.0, 1.0, W)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    coords = jnp.stack([gx.ravel(), gy.ravel(), jnp.ones(H * W)], axis=0)  # (3, HW)
+    src = theta @ coords                                                   # (2, HW)
+    sx = (src[0] + 1.0) * (W - 1) / 2.0
+    sy = (src[1] + 1.0) * (H - 1) / 2.0
+    x0 = jnp.clip(jnp.floor(sx), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(sy), 0, H - 2)
+    wx = jnp.clip(sx - x0, 0.0, 1.0)
+    wy = jnp.clip(sy - y0, 0.0, 1.0)
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
 
-    The reference optimizes a homography with kornia (metrics.py:133-242) and
-    keeps the best of registered/unregistered. A dense shift grid is an
-    XLA-friendly approximation that captures the dominant ambiguity
-    (translation) of gradient-inversion reconstructions.
-    """
+    def at(yy, xx):
+        return img[yy, xx, :]
+
+    out = (at(y0i, x0i) * ((1 - wy) * (1 - wx))[:, None]
+           + at(y0i, x0i + 1) * ((1 - wy) * wx)[:, None]
+           + at(y0i + 1, x0i) * (wy * (1 - wx))[:, None]
+           + at(y0i + 1, x0i + 1) * (wy * wx)[:, None])
+    return out.reshape(H, W, C)
+
+
+_IDENTITY_THETA = np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+
+
+@jax.jit
+def _register_affine(rec, ref, steps: int = 200, lr: float = 0.02):
+    """Per-image gradient-based affine registration: optimize the 6 warp params
+    by Adam on MSE(warp(rec), ref). The jitted XLA counterpart of the
+    reference's kornia ImageRegistrator homography (metrics.py:133-242);
+    an affine map absorbs the translation/scale/rotation/shear ambiguities
+    gradient-inversion reconstructions actually exhibit."""
+    import optax
+
+    def one(rec_i, ref_i):
+        theta0 = jnp.asarray(_IDENTITY_THETA)
+        opt = optax.adam(lr)
+
+        def loss_fn(theta):
+            return jnp.mean(jnp.square(_affine_warp(rec_i, theta) - ref_i))
+
+        def step(carry, _):
+            theta, state = carry
+            loss, grad = jax.value_and_grad(loss_fn)(theta)
+            updates, state = opt.update(grad, state, theta)
+            return (optax.apply_updates(theta, updates), state), loss
+
+        (theta, _), _ = jax.lax.scan(step, (theta0, opt.init(theta0)),
+                                     None, length=steps)
+        return _affine_warp(rec_i, theta)
+
+    return jax.vmap(one)(rec, ref)
+
+
+def registered_psnr(rec, ref, factor: float = 1.0):
+    """Registration-robust PSNR (reference: metrics.py:133-242): the best of
+    (a) the unregistered PSNR, (b) a dense grid of small integer translations,
+    and (c) a jitted per-image affine registration (6 params by Adam on MSE,
+    absorbing the scale/rotation ambiguities the shift grid cannot). Never
+    below the unregistered value, matching the reference's max()."""
     shifts = [-2, -1, 0, 1, 2]
 
     def psnr_at(rec_s):
@@ -131,6 +188,7 @@ def registered_psnr(rec, ref, factor: float = 1.0):
         for dx in shifts:
             shifted = jnp.roll(rec, (dy, dx), axis=(1, 2))
             best = jnp.maximum(best, psnr_at(shifted))
+    best = jnp.maximum(best, psnr_at(_register_affine(rec, ref)))
     return best
 
 

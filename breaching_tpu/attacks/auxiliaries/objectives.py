@@ -184,7 +184,7 @@ class AngularSimilarity(CosineSimilarity):
 class MaskedCosineSimilarity(GradientLoss):
     def __init__(self, scale=1.0, mask_value=1e-6, task_regularization=0.0, **kwargs):
         super().__init__(scale, task_regularization)
-        self.mask_value = 1e-6
+        self.mask_value = float(mask_value)
 
     def gradient_based_loss(self, grads, target_grads):
         product = rec_norm = data_norm = 0.0

@@ -208,6 +208,34 @@ class _BaseAttacker:
                 avg_bias[idx] -= m_impact
             labels = np.asarray(selected[:num_data_points]) if len(selected) > num_data_points \
                 else np.asarray(selected)
+        elif strategy == "bias-text":
+            # Wainakh-style analytic recovery of ALL seq_len*n token "labels"
+            # from decoder-bias gradients, seeded with the tokens whose
+            # embedding rows received gradient (reference: base_attack.py:426-452).
+            num_missing = num_data_points * int(self.data_shape[0])
+            avg_bias = np.stack([b for _, b in head_grads]).mean(axis=0).copy()
+            valid = np.nonzero(avg_bias < 0)[0]
+            selected = valid.tolist()
+            emb_path = (model.aux or {}).get("registry", {}).get("embedding")
+            if emb_path is not None:
+                emb_grad = user_data[0]["gradients"]
+                for k in emb_path:
+                    emb_grad = emb_grad[k]
+                present = np.nonzero(
+                    np.linalg.norm(np.asarray(emb_grad), axis=-1) > 0)[0]
+                for token in present.tolist():
+                    if token not in selected:
+                        selected.append(token)
+            m_impact = avg_bias[valid].sum() / max(num_missing, 1)
+            avg_bias[valid] -= m_impact
+            while len(selected) < num_missing:
+                idx = int(np.argmin(avg_bias))
+                selected.append(idx)
+                avg_bias[idx] -= m_impact
+            labels = np.asarray(selected[:num_missing]).reshape(
+                num_data_points, int(self.data_shape[0]))
+            log.info(f"Recovered {labels.size} tokens through strategy bias-text.")
+            return jnp.asarray(labels)
         elif strategy == "random":
             labels = rng.integers(0, num_classes, num_data_points)
         elif strategy == "exhaustive":

@@ -70,7 +70,9 @@ class OptimizationPermutationAttacker(OptimizationBasedAttacker):
         vocab = self._vocab_size
         embeddings = self.embeddings  # set by prepare_text_attack
 
-        def total_loss(candidate_tree, aug_key):
+        def total_loss(candidate_tree, aug_key, extra=()):
+            # `extra` (fleet mode) is unsupported here: permutation recovery is
+            # inherently per-user (the leaked bag differs per experiment)
             perm = sinkhorn_knopp(jnp.clip(candidate_tree["data"], 0.0, 1.0))
             leaked_emb = embeddings[0]["weight"][leaked]                  # (P, D)
             candidate = (perm @ leaked_emb).reshape(num_points, seq_len, embed_dim)

@@ -151,6 +151,10 @@ def _linearize_batchnorm(params, buffers):
                 if key in bnode and "mean" in bnode.get(key, {}) and "scale" in val:
                     val["scale"] = jnp.asarray(bnode[key]["var"])
                     val["bias"] = jnp.asarray(bnode[key]["mean"]) + 10.0
+                elif "kernel" in val and "bias" in val \
+                        and getattr(val["kernel"], "ndim", 0) == 4:
+                    # biased convs get the same +10 lift (reference:123-124)
+                    val["bias"] = jnp.asarray(val["bias"]) + 10.0
                 elif key in bnode and isinstance(bnode[key], dict):
                     visit(val, bnode[key])
                 else:

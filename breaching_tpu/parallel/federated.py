@@ -12,8 +12,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
+
+try:  # stable since jax 0.4.35; the experimental alias emits DeprecationWarning
+    from jax import shard_map
+except ImportError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def sharded_user_aggregate(model, loss_fn, mesh, user_inputs, user_labels,

@@ -119,3 +119,32 @@ def test_lstm_and_linear_text_models():
         ids = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]])
         logits, _ = model.apply(model.params, {}, ids, train=False)
         assert logits.shape == (1, 8, 128)
+
+
+def test_bias_text_label_strategy():
+    """bias-text recovers the full (n, seq_len) token grid from decoder-bias
+    gradients + embedding-row hits (reference: base_attack.py:426-452)."""
+    import collections
+
+    cfg = breaching.get_config([
+        "case=10_causal_lang_training", "attack=invertinggradients",
+        "case/data=random-tokens", "case.data.task=causal-lm",
+        "case.model=transformer3", "case.data.shape=[12]",
+        "case.data.vocab_size=512", "case.data.default_clients=20",
+        "case.user.num_data_points=2", "case.user.provide_labels=False",
+        "attack.label_strategy=bias-text", "attack.token_strategy=",
+        "attack.optim.max_iterations=2", "attack.optim.callback=1", "seed=3",
+    ])
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    attacker = breaching.attacks.prepare_attack(server.model, server.loss,
+                                                cfg.attack, setup)
+    shared, payloads, true_data = server.run_protocol(user)
+    rec_models, labels, stats = attacker.prepare_attack(payloads, shared)
+    assert labels.shape == (2, 12)
+    true = np.asarray(true_data["data"]).reshape(-1)
+    recv = np.asarray(labels).reshape(-1)
+    tb = collections.Counter(true.tolist())
+    rb = collections.Counter(recv.tolist())
+    overlap = sum(min(tb[k], rb[k]) for k in tb)
+    assert overlap >= 0.8 * true.size, (overlap, true.size)
