@@ -63,6 +63,15 @@ class DecepticonAttacker(AnalyticAttacker):
 
         norm_scale, norm_bias = self._first_norm_params(model)
         embedding_table = np.asarray(_fetch(model.params, model.aux["registry"]["embedding"]))
+        # architectures with an embedding LayerNorm (BERT): tokens/positions
+        # reach the first block through it — approximate per-component
+        # (LayerNorm is not additive, but the correlation matcher only needs
+        # the direction; reference uses norm_layer0 the same way)
+        emb_norm_path = model.aux["registry"].get("embedding_norm")
+        if emb_norm_path is not None:
+            n0 = _fetch(model.params, emb_norm_path)
+            embedding_table = _layer_norm(embedding_table, np.asarray(n0["scale"]),
+                                          np.asarray(n0["bias"]))
         leaked = np.asarray(tokens).reshape(-1) if tokens is not None else None
 
         breached, preference, valid = self._extract_breaches(
@@ -174,10 +183,15 @@ class DecepticonAttacker(AnalyticAttacker):
     def _first_norm_params(self, model):
         """(scale, bias) of the LayerNorm the imprinted FF input passes through:
         norm1 for post-LN blocks (ff_input = norm1(x + attn)), norm2 for
-        pre-LN/gpt2-style blocks (ff_input = norm2(x + attn(norm1(x))))."""
-        norm_name = "norm2" if getattr(model.module, "norm_first", False) else "norm1"
+        pre-LN/gpt2-style blocks (ff_input = norm2(x + attn(norm1(x)))).
+        Registered architectures name it explicitly (registry.first_ff_norm)."""
+        registry = (model.aux or {}).get("registry", {})
+        norm_path = registry.get("first_ff_norm")
+        if norm_path is None:
+            norm_name = "norm2" if getattr(model.module, "norm_first", False) else "norm1"
+            norm_path = ("layer0", norm_name)
         try:
-            norm = model.params["layer0"][norm_name]
+            norm = _fetch(model.params, norm_path)
             return np.asarray(norm["scale"]), np.asarray(norm["bias"])
         except (KeyError, TypeError):
             dim = model.aux.get("ninp", 96)
@@ -198,10 +212,12 @@ class DecepticonAttacker(AnalyticAttacker):
         under cfg.breach_reduction ('bias' prefers the smallest |bias| jumps —
         least likely to be collided rows; 'weight'/'total-weight' prefer
         heavy weight rows; reference:375-390)."""
+        layout = secrets.get("kernel_layout", "in_out")
         weight_rows, bias_rows = [], []
         for w_path in secrets["weight_paths"]:
             layer = _fetch(gradients, w_path)
-            weight_rows.append(np.asarray(layer["kernel"], np.float64).T)   # (H, D)
+            kernel = np.asarray(layer["kernel"], np.float64)
+            weight_rows.append(kernel.T if layout == "in_out" else kernel)   # (H, D)
             bias_rows.append(np.asarray(layer["bias"], np.float64))
         weights = np.concatenate(weight_rows, axis=0)           # (bins, D)
         biases = np.concatenate(bias_rows, axis=0)              # (bins,)
@@ -235,10 +251,14 @@ class DecepticonAttacker(AnalyticAttacker):
         return states, preference, valid
 
     def _positional_table(self, model, seq_len):
-        from ..cases.malicious.transformer_rewiring import _positional_table
+        from ..cases.malicious.transformer_rewiring import positional_table
 
-        params = {k: np.asarray(val) for k, val in model.params.items()}
-        return np.asarray(_positional_table(model.module, params, seq_len))
+        table = np.asarray(positional_table(model, model.params, seq_len))
+        emb_norm_path = model.aux["registry"].get("embedding_norm")
+        if emb_norm_path is not None:  # see embedding_table note in reconstruct
+            n0 = _fetch(model.params, emb_norm_path)
+            table = _layer_norm(table, np.asarray(n0["scale"]), np.asarray(n0["bias"]))
+        return table
 
     def _cluster_sentences(self, keys, num_sentences, seq_len=None):
         """Sentence disambiguation on the key components — the reference's full

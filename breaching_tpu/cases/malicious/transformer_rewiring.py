@@ -39,30 +39,59 @@ def _fetch(tree, path):
     return node
 
 
-def _positional_table(module, params, seq_len):
-    if module.positional_embedding == "fixed":
-        from ..models.language_models import fixed_positional_encoding
+def _set(tree, path, value):
+    node = tree
+    for key in path[:-1]:
+        node = node[key]
+    node[path[-1]] = value
 
-        return np.asarray(fixed_positional_encoding(module.max_len, module.ninp))[:seq_len]
-    return np.asarray(params["pos_embedding"])[:seq_len]
+
+def _get_kernel(layer, layout):
+    """Kernel in canonical (in, out) orientation. HF GPT-2's Conv1D stores
+    (out, in) — registry kernel_layout='out_in' (the reference's
+    'ff_transposed' distinction, transformer_dictionary.py)."""
+    k = layer["kernel"]
+    return k.T if layout == "out_in" else k
+
+
+def _set_kernel(layer, kernel_in_out, layout):
+    layer["kernel"] = (kernel_in_out.T if layout == "out_in"
+                       else kernel_in_out).astype(layer["kernel"].dtype)
+
+
+def positional_table(model, params, seq_len):
+    """Pure positional encodings [seq_len, D] for any registered architecture."""
+    registry = (model.aux or {}).get("registry", {})
+    pos_path = registry.get("pos_embedding")
+    if pos_path is not None:
+        return np.asarray(_fetch(params, pos_path))[:seq_len]
+    from ..models.language_models import fixed_positional_encoding
+
+    module = model.module
+    return np.asarray(fixed_positional_encoding(module.max_len, module.ninp))[:seq_len]
 
 
 def reconfigure_transformer(model, loss_fn, cfg_server, cfg_data, setup, external_dataloader=None):
-    """Apply the full Decepticon parameter rewiring; returns (model, secrets)."""
-    from ..models.language_models import TransformerModel
+    """Apply the full Decepticon parameter rewiring; returns (model, secrets).
 
-    if not isinstance(model.module, TransformerModel):
+    Registry-driven: any architecture whose aux.registry lists per-layer
+    attention_qkv (fused path or dict(query/key/value)), attention_out,
+    ff_first, ff_second plus embedding/pos paths can be rewired — the flax
+    TransformerModel family and the hf-gpt2 wrapper both qualify (the
+    counterpart of reference transformer_dictionary.py:5-134)."""
+    registry = (model.aux or {}).get("registry", {})
+    if not registry.get("attention_qkv"):
         raise ValueError(
-            f"Transformer rewiring is implemented for the flax TransformerModel family "
-            f"(got {model.name}); register new architectures in the model registry first.")
+            f"Transformer rewiring needs a populated architecture registry "
+            f"(got {model.name}); register attention/ff paths in model.aux first.")
 
     pmod = cfg_server.param_modification
     v_length = int(pmod.v_length)
     seq_len = int(cfg_data.shape[0])
     module = model.module
-    D, H = module.ninp, module.nhid
-    nlayers = module.nlayers
-    registry = model.aux["registry"]
+    D, H = int(model.aux["ninp"]), int(model.aux["nhid"])
+    nlayers = int(registry.get("nlayers") or len(registry["attention_qkv"]))
+    layout = registry.get("kernel_layout", "in_out")
     params = jax.tree_util.tree_map(lambda x: np.array(x, copy=True), model.params)
 
     rng = np.random.default_rng(int(pmod.get("seed", 0) or 0))
@@ -81,45 +110,79 @@ def reconfigure_transformer(model, loss_fn, cfg_server, cfg_data, setup, externa
     measurement = measurements[0]
 
     # --- embedding modifications (reference: partially_disable_embedding:60-67) ---
-    params["embedding"][:, :v_length] = 0.0
-    if "pos_embedding" in params:
-        pos = params["pos_embedding"]
+    if pmod.get("reset_embedding"):
+        # reinit to N(0,1) like torch nn.Embedding.reset_parameters
+        # (reference servers.py:432-433) — gives the attacker separable token
+        # embeddings on architectures with tiny embedding inits (BERT/GPT-2)
+        shape = _fetch(params, registry["embedding"]).shape
+        _set(params, registry["embedding"],
+             rng.standard_normal(shape).astype(np.float32))
+    embedding = _fetch(params, registry["embedding"])
+    embedding[:, :v_length] = 0.0
+    if registry.get("pos_embedding") is not None:
+        pos = _fetch(params, registry["pos_embedding"])
         pos[:, :v_length] = 0.0
         norms = np.linalg.norm(pos[:, v_length:2 * v_length], axis=1, keepdims=True)
-        params["pos_embedding"] = pos / np.maximum(norms, 1e-8)
+        _set(params, registry["pos_embedding"], pos / np.maximum(norms, 1e-8))
 
-    positions = _positional_table(module, params, seq_len)
+    positions = positional_table(model, params, seq_len)
+    # the attention biases must carry positions AS THE FIRST BLOCK SEES THEM:
+    # through the embedding LayerNorm where one exists (BERT), identity
+    # otherwise (reference: set_MHA's norm_layer0(pos_encoder(zeros)))
+    norm0_path = registry.get("embedding_norm")
+    if norm0_path is not None:
+        n0 = _fetch(params, norm0_path)
+        mu = positions.mean(axis=-1, keepdims=True)
+        var = positions.var(axis=-1, keepdims=True)
+        attn_positions = ((positions - mu) / np.sqrt(var + 1e-12)
+                          * np.asarray(n0["scale"]) + np.asarray(n0["bias"]))
+    else:
+        attn_positions = positions
 
-    # --- first attention: positional copy machine (reference: _set_default_MHA) ---
-    first_qkv = _fetch(params, registry["attention_qkv"][0])
-    kernel = np.zeros_like(first_qkv["kernel"])          # (D, 3D)
-    bias = np.zeros_like(first_qkv["bias"])              # (3D,)
     imprint_pos = int(pmod.imprint_sentence_position)
     softmax_skew = float(pmod.softmax_skew)
-    # Q: zero kernel, bias = skewed positional key
-    bias[v_length:2 * v_length] = softmax_skew * positions[imprint_pos, v_length:2 * v_length]
-    # K: identity
-    kernel[:, D:2 * D] = np.eye(D)
-    # V: move components [v:2v] into [0:v]
+
+    def write_qkv(entry, q_kernel, q_bias, k_kernel, k_bias, v_kernel, v_bias):
+        """Write per-head Q/K/V weights through a fused (D, 3D) path or a
+        dict of separate query/key/value paths (BERT-style)."""
+        if isinstance(entry, dict):
+            for name, kern, bias_ in (("query", q_kernel, q_bias),
+                                      ("key", k_kernel, k_bias),
+                                      ("value", v_kernel, v_bias)):
+                layer = _fetch(params, entry[name])
+                _set_kernel(layer, kern, layout)
+                layer["bias"] = bias_.astype(layer["bias"].dtype)
+        else:
+            layer = _fetch(params, entry)
+            fused = np.concatenate([q_kernel, k_kernel, v_kernel], axis=1)
+            _set_kernel(layer, fused, layout)
+            layer["bias"] = np.concatenate([q_bias, k_bias, v_bias]).astype(
+                layer["bias"].dtype)
+
+    # --- first attention: positional copy machine (reference: _set_default_MHA) ---
+    q_bias = np.zeros(D, np.float32)
+    q_bias[v_length:2 * v_length] = softmax_skew * attn_positions[imprint_pos, v_length:2 * v_length]
     v_kernel = np.zeros((D, D), np.float32)
     v_kernel[v_length:2 * v_length, :v_length] = np.eye(v_length)
-    kernel[:, 2 * D:] = v_kernel
     v_bias = np.zeros(D, np.float32)
-    v_bias[imprint_pos:imprint_pos + v_length] = -positions[imprint_pos, v_length:2 * v_length]
-    bias[2 * D:] = v_bias
-    first_qkv["kernel"], first_qkv["bias"] = kernel, bias
+    v_bias[imprint_pos:imprint_pos + v_length] = -attn_positions[imprint_pos, v_length:2 * v_length]
+    write_qkv(registry["attention_qkv"][0],
+              np.zeros((D, D), np.float32), q_bias,
+              np.eye(D, dtype=np.float32), np.zeros(D, np.float32),
+              v_kernel, v_bias)
 
     first_out = _fetch(params, registry["attention_out"][0])
-    first_out["kernel"] = float(pmod.sequence_token_weight) * np.eye(D, dtype=np.float32)
+    _set_kernel(first_out, float(pmod.sequence_token_weight) * np.eye(D, dtype=np.float32),
+                layout)
     first_out["bias"] = np.zeros_like(first_out["bias"])
 
     # --- second FF layers: tiny flow-through (reference: set_flow_backward_layer:239-252) ---
     eps = float(pmod.eps)
     for path in registry["ff_second"]:
         layer = _fetch(params, path)
-        k = np.zeros_like(layer["kernel"])               # (H, D)
-        k[:, -1] = eps / k.shape[0]
-        layer["kernel"] = k
+        k = np.zeros((H, D), np.float32)
+        k[:, -1] = eps / H
+        _set_kernel(layer, k, layout)
         layer["bias"] = np.zeros_like(layer["bias"])
 
     # --- middle attentions disabled (reference: disable_mha_layers:255-263) ---
@@ -130,15 +193,15 @@ def reconfigure_transformer(model, loss_fn, cfg_server, cfg_data, setup, externa
 
     # --- last attention (reference: equalize_mha_layer:266-313) ---
     if nlayers > 1:
-        last_qkv = _fetch(params, registry["attention_qkv"][-1])
         last_out = _fetch(params, registry["attention_out"][-1])
         if cfg_data.task == "masked-lm" and not cfg_data.get("disable_mlm", False):
-            kernel = np.zeros_like(last_qkv["kernel"])
-            kernel[:, D:2 * D] = np.eye(D)
-            kernel[:, 2 * D:] = np.eye(D)
-            last_qkv["kernel"] = kernel
-            last_qkv["bias"] = np.zeros_like(last_qkv["bias"])
-            last_out["kernel"] = float(pmod.equalize_token_weight) * np.eye(D, dtype=np.float32)
+            write_qkv(registry["attention_qkv"][-1],
+                      np.zeros((D, D), np.float32), np.zeros(D, np.float32),
+                      np.eye(D, dtype=np.float32), np.zeros(D, np.float32),
+                      np.eye(D, dtype=np.float32), np.zeros(D, np.float32))
+            _set_kernel(last_out,
+                        float(pmod.equalize_token_weight) * np.eye(D, dtype=np.float32),
+                        layout)
             last_out["bias"] = np.zeros_like(last_out["bias"])
         else:
             last_out["kernel"] = np.zeros_like(last_out["kernel"])
@@ -160,7 +223,8 @@ def reconfigure_transformer(model, loss_fn, cfg_server, cfg_data, setup, externa
         bins = _gaussian_bins(mu, std, H * nlayers)
         for i, path in enumerate(registry["ff_first"]):
             layer = _fetch(params, path)
-            layer["kernel"] = np.tile(measurement[:, None], (1, H)).astype(np.float32)
+            _set_kernel(layer, np.tile(measurement[:, None], (1, H)).astype(np.float32),
+                        layout)
             layer["bias"] = -np.asarray(bins[i * H:(i + 1) * H], np.float32)
         all_bins = bins
     elif bin_setup in ("separate", "repeat"):
@@ -171,7 +235,7 @@ def reconfigure_transformer(model, loss_fn, cfg_server, cfg_data, setup, externa
             log.info(f"Layer {i}: feature mean {mu:.4f}, std {std:.4f}.")
             bins = _gaussian_bins(mu, std, H)
             layer = _fetch(params, path)
-            layer["kernel"] = np.tile(probe[:, None], (1, H)).astype(np.float32)
+            _set_kernel(layer, np.tile(probe[:, None], (1, H)).astype(np.float32), layout)
             layer["bias"] = -np.asarray(bins, np.float32)
             all_bins.extend(bins)
     else:
@@ -188,6 +252,7 @@ def reconfigure_transformer(model, loss_fn, cfg_server, cfg_data, setup, externa
         measurement=measurement,
         bin_setup=bin_setup,
         hidden_dim=H,
+        kernel_layout=layout,
     ))
     return model, secrets
 

@@ -269,42 +269,166 @@ def construct_text_model(cfg_model, cfg_data, key=None):
     return model, loss_cls()
 
 
+def _gpt2_registry(nlayers):
+    """Pytree-path registry for the HF Flax GPT-2 architecture (the counterpart
+    of reference transformer_dictionary.py's gpt2 entries). GPT-2's Conv1D
+    kernels are stored (out, in) — kernel_layout='out_in' (the reference's
+    ff_transposed case)."""
+    h = lambda i, *rest: ("transformer", "h", str(i), *rest)
+    return dict(
+        embedding=("transformer", "wte", "embedding"),
+        pos_embedding=("transformer", "wpe", "embedding"),
+        decoder_bias=None,  # GPT-2's LM head is tied and bias-free
+        attention_qkv=[h(i, "attn", "c_attn") for i in range(nlayers)],
+        attention_out=[h(i, "attn", "c_proj") for i in range(nlayers)],
+        ff_first=[h(i, "mlp", "c_fc") for i in range(nlayers)],
+        ff_second=[h(i, "mlp", "c_proj") for i in range(nlayers)],
+        norms=[h(i, n) for i in range(nlayers) for n in ("ln_1", "ln_2")],
+        first_ff_norm=("transformer", "h", "0", "ln_2"),  # pre-LN: FF input
+        kernel_layout="out_in",
+        nlayers=nlayers,
+    )
+
+
+def _bert_registry(nlayers):
+    """Registry for HF Flax BERT: separate query/key/value paths, post-LN."""
+    l = lambda i, *rest: ("bert", "encoder", "layer", str(i), *rest)
+    return dict(
+        embedding=("bert", "embeddings", "word_embeddings", "embedding"),
+        pos_embedding=("bert", "embeddings", "position_embeddings", "embedding"),
+        decoder_bias=("cls", "predictions", "bias"),
+        attention_qkv=[dict(query=l(i, "attention", "self", "query"),
+                            key=l(i, "attention", "self", "key"),
+                            value=l(i, "attention", "self", "value"))
+                       for i in range(nlayers)],
+        attention_out=[l(i, "attention", "output", "dense") for i in range(nlayers)],
+        ff_first=[l(i, "intermediate", "dense") for i in range(nlayers)],
+        ff_second=[l(i, "output", "dense") for i in range(nlayers)],
+        first_ff_norm=("bert", "encoder", "layer", "0", "attention", "output",
+                       "LayerNorm"),
+        embedding_norm=("bert", "embeddings", "LayerNorm"),  # norm_layer0
+        kernel_layout="in_out",
+        nlayers=nlayers,
+    )
+
+
 def _construct_hf_flax_model(hf_name, cfg_data, key):
-    """Wrap a HuggingFace Flax LM into the JaxModel contract (ids-only forward)."""
+    """Wrap a HuggingFace Flax LM into the JaxModel contract.
+
+    Unlike the round-1 ids-only pass-through, this exposes the full attack
+    surface: an architecture registry (rewiring/Decepticon), intermediate
+    capture translated to the layerN/ff_input + features convention, and
+    re-initializable state. `-S` suffixed names build test-scale configs.
+    Counterpart of reference model_preparation.py:97-149 (HuggingFaceContainer)
+    + transformer_dictionary.py.
+    """
     import dataclasses
 
     from .losses import LOSSES, CausalLoss
     from .model_preparation import JaxModel
 
     vocab = int(cfg_data.vocab_size)
+    small = hf_name.endswith("S")
     if "gpt2" in hf_name:
         from transformers import FlaxGPT2LMHeadModel, GPT2Config
 
-        config = GPT2Config(vocab_size=vocab)
+        if small:
+            config = GPT2Config(vocab_size=vocab, n_positions=64, n_embd=96,
+                                n_layer=3, n_head=8, resid_pdrop=0.0,
+                                embd_pdrop=0.0, attn_pdrop=0.0)
+        else:
+            config = GPT2Config(vocab_size=vocab)
         hf_model = FlaxGPT2LMHeadModel(config, seed=0)
-        embedding_path = ("transformer", "wte", "embedding")
+        nlayers, ninp = config.n_layer, config.n_embd
+        nhid = config.n_inner or 4 * config.n_embd
+        registry = _gpt2_registry(nlayers)
+        trunk, final_norm = ("transformer", "h"), ("transformer", "ln_f")
+        ff_norm_name = "ln_2"
+        head_path = registry["embedding"][:-1]
     elif "bert" in hf_name:
         from transformers import BertConfig, FlaxBertForMaskedLM
 
-        config = BertConfig(vocab_size=vocab)
+        if small:
+            config = BertConfig(vocab_size=vocab, hidden_size=96,
+                                num_hidden_layers=3, num_attention_heads=8,
+                                intermediate_size=384, max_position_embeddings=64,
+                                hidden_dropout_prob=0.0,
+                                attention_probs_dropout_prob=0.0)
+        else:
+            config = BertConfig(vocab_size=vocab)
         hf_model = FlaxBertForMaskedLM(config, seed=0)
-        embedding_path = ("bert", "embeddings", "word_embeddings", "embedding")
+        nlayers, ninp = config.num_hidden_layers, config.hidden_size
+        nhid = config.intermediate_size
+        registry = _bert_registry(nlayers)
+        trunk, final_norm = ("bert", "encoder", "layer"), None
+        ff_norm_name = None  # post-LN: ff_input is the attention-output LayerNorm
+        head_path = ("cls", "predictions")
     else:
         raise ValueError(f"Unsupported HF flax model {hf_name}.")
+
+    def _walk(tree, path):
+        for k in path:
+            tree = tree[k]
+        return tree
+
+    def _translate_capture(inter):
+        """Captured LayerNorm outputs -> {layerN: {ff_input: (arr,)}, features}."""
+        out = {}
+        for i in range(nlayers):
+            try:
+                if ff_norm_name is not None:  # gpt2: ln_2 of block i
+                    tap = _walk(inter, ("transformer", "h", str(i), ff_norm_name))
+                else:  # bert: attention/output/LayerNorm of block i
+                    tap = _walk(inter, ("bert", "encoder", "layer", str(i),
+                                        "attention", "output", "LayerNorm"))
+                out[f"layer{i}"] = {"ff_input": tap["__call__"]}
+            except (KeyError, TypeError):
+                continue
+        try:
+            feats = (_walk(inter, final_norm)["__call__"] if final_norm is not None
+                     else out[f"layer{nlayers - 1}"]["ff_input"])
+            out["features"] = feats
+        except (KeyError, TypeError):
+            pass
+        return out
+
+    flax_module = hf_model.module
+    is_bert = "bert" in hf_name
+
+    def _call_args(ids):
+        mask = jnp.ones_like(ids)
+        positions = jnp.broadcast_to(jnp.arange(ids.shape[1])[None], ids.shape)
+        if is_bert:  # (ids, mask, token_type_ids, position_ids, head_mask)
+            return (ids, mask, jnp.zeros_like(ids), positions, None)
+        return (ids, mask, positions)
 
     @dataclasses.dataclass
     class HFJaxModel(JaxModel):
         def apply(self, params, buffers, inputs, train: bool = False, capture: bool = False):
-            outputs = hf_model(jnp.asarray(inputs, jnp.int32), params=params, train=False)
-            return outputs.logits, {}
+            ids = jnp.asarray(inputs, jnp.int32)
+            variables = {"params": params}
+            if not capture:
+                outputs = flax_module.apply(variables, *_call_args(ids),
+                                            deterministic=True)
+                return outputs.logits, {}
+            outputs, inter = flax_module.apply(
+                variables, *_call_args(ids), deterministic=True,
+                mutable=["intermediates"],
+                capture_intermediates=lambda mdl, name: name == "__call__"
+                and mdl.__class__.__name__ == "LayerNorm")
+            translated = _translate_capture(dict(inter)["intermediates"])
+            return outputs.logits, {"intermediates": translated}
 
         def init_state(self, key, input_example=None):
-            return dict(hf_model.params), {}
+            example = input_example if input_example is not None else self.input_example
+            fresh = type(hf_model)(config, seed=int(jax.random.key_data(key)[-1]) % (2 ** 31))
+            return jax.tree_util.tree_map(jnp.asarray, dict(fresh.params)), {}
 
     example = jnp.zeros((1, int(cfg_data.shape[0])), jnp.int32)
-    model = HFJaxModel(name=f"hf-{hf_name}", module=hf_model, params=dict(hf_model.params),
-                       buffers={}, modality="text", head_path=embedding_path[:-1],
-                       input_example=example,
-                       aux=dict(registry=dict(embedding=embedding_path, decoder_bias=None)))
+    model = HFJaxModel(
+        name=f"hf-{hf_name}", module=flax_module,
+        params=jax.tree_util.tree_map(jnp.asarray, dict(hf_model.params)),
+        buffers={}, modality="text", head_path=head_path, input_example=example,
+        aux=dict(registry=registry, ninp=ninp, nhid=nhid, nlayers=nlayers))
     loss_cls = LOSSES.get(getattr(cfg_data, "task", "causal-lm"), CausalLoss)
     return model, loss_cls()

@@ -86,12 +86,19 @@ class JaxModel:
         node = grads
         for key in self.head_path:
             node = node[key]
-        if not isinstance(node, dict):
-            # tied-decoder text model: the head weight IS the embedding (vocab, dim),
-            # already in (out, in) convention; its bias is a separate parameter.
-            return node, grads["decoder_bias"]
+        if not isinstance(node, dict) or ("embedding" in node and "kernel" not in node):
+            # tied-decoder text model: the head weight IS the embedding
+            # (vocab, dim), already in (out, in) convention; its bias is a
+            # separate parameter — or absent entirely (HF GPT-2).
+            weight = node if not isinstance(node, dict) else node["embedding"]
+            bias = grads.get("decoder_bias")
+            if bias is None:
+                bias = jnp.zeros((weight.shape[0],), weight.dtype)
+            return weight, bias
         if "kernel" not in node:  # wrapped Dense submodule
-            node = node["dense"]
+            node = node.get("dense", node.get("transform", node))
+            if "kernel" not in node and "decoder" in node:
+                node = node["decoder"]
         return jnp.transpose(node["kernel"]), node["bias"]
 
     @property

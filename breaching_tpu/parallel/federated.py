@@ -32,12 +32,19 @@ def sharded_user_aggregate(model, loss_fn, mesh, user_inputs, user_labels,
     params, buffers = model.params, model.buffers
 
     def per_shard(inputs_shard, labels_shard):
+        # mark the replicated params as device-varying before differentiating:
+        # under jax's varying-manual-axes semantics, the cotangent of an
+        # INVARIANT closure constant is implicitly psum'd across the mesh,
+        # which would double-count with the explicit pmean below
+        local_params = jax.tree_util.tree_map(
+            lambda p: jax.lax.pvary(p, (axis,)), params)
+
         def one_user(x, y):
             def task(p):
                 out, _ = model.apply(p, buffers, x, train=False)
                 return loss_fn(out, y)
 
-            return jax.grad(task)(params)
+            return jax.grad(task)(local_params)
 
         grads = jax.vmap(one_user)(inputs_shard, labels_shard)
         local_mean = jax.tree_util.tree_map(lambda g: jnp.mean(g, axis=0), grads)
@@ -48,6 +55,5 @@ def sharded_user_aggregate(model, loss_fn, mesh, user_inputs, user_labels,
     fn = shard_map(
         per_shard, mesh=mesh,
         in_specs=(spec, spec),
-        out_specs=jax.tree_util.tree_map(lambda _: P(), params),
-        check_rep=False)
+        out_specs=jax.tree_util.tree_map(lambda _: P(), params))
     return jax.jit(fn)(user_inputs, user_labels)

@@ -34,6 +34,24 @@ EXAMPLES = {
                          "case/server=malicious-transformer", "case.model=bert-base-uncased"],
     "decepticons_gpt2": ["case=10_causal_lang_training", "attack=decepticon",
                          "case/server=malicious-transformer", "case.model=gpt2S"],
+    # real HuggingFace Flax architectures (reference notebook hyperparameters)
+    "decepticons_hf_gpt2": [
+        "case=10_causal_lang_training", "attack=decepticon",
+        "case/server=malicious-transformer", "case.model=hf-gpt2S",
+        "case.server.param_modification.v_length=32",
+        "case.server.param_modification.eps=1e-8",
+        "case.server.param_modification.measurement_scale=1e6",
+        "case.server.param_modification.softmax_skew=1e8",
+        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.0"],
+    "decepticons_hf_bert": [
+        "case=9_bert_training", "attack=decepticon",
+        "case/server=malicious-transformer", "case.model=hf-bertS",
+        "case.server.param_modification.reset_embedding=True",
+        "case.server.param_modification.v_length=16",
+        "case.server.param_modification.eps=1e-8",
+        "case.server.param_modification.measurement_scale=1e8",
+        "case.server.param_modification.softmax_skew=1e8",
+        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.0"],
     "tag": ["case=10_causal_lang_training", "attack=tag"],
     "permutation": ["case=10_causal_lang_training", "attack=permutation"],
     "sanity_check": ["case=0_sanity_check", "attack=analytic"],

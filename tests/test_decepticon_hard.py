@@ -80,3 +80,38 @@ def test_clustering_zoo_respects_size_constraint():
             (labels == perm[truth]).mean()
             for perm in map(np.asarray, __import__("itertools").permutations(range(3))))
         assert agree == 1.0, (algorithm, labels)
+
+
+HF_COMMON = [
+    "case.server.param_modification.eps=1e-8",
+    "case.server.param_modification.softmax_skew=1e8",
+    "attack.token_strategy=embedding-norm",
+    "attack.embedding_token_weight=0.0",
+]
+
+
+def test_decepticon_hf_gpt2_architecture():
+    """Decepticon on the REAL HuggingFace Flax GPT-2 architecture (Conv1D
+    out-in kernels, pre-LN, causal mask, tied bias-free head) with the
+    reference notebook's hyperparameters (measurement_scale circumvents GELU)."""
+    metrics, _ = _run_decepticon(
+        "hf-gpt2S", "causal-lm", 1,
+        extra=["case.server.param_modification.v_length=32",
+               "case.server.param_modification.measurement_scale=1e6",
+               *HF_COMMON])
+    assert metrics["token_acc"] > 0.8, metrics
+    assert metrics["accuracy"] > 0.6, metrics
+
+
+def test_decepticon_hf_bert_architecture():
+    """Decepticon on the REAL HuggingFace Flax BERT (separate q/k/v paths,
+    embedding LayerNorm as norm_layer0, masked-lm equalize path,
+    reset_embedding like the reference notebook)."""
+    metrics, _ = _run_decepticon(
+        "hf-bertS", "masked-lm", 1,
+        extra=["case.server.param_modification.reset_embedding=True",
+               "case.server.param_modification.v_length=16",
+               "case.server.param_modification.measurement_scale=1e8",
+               *HF_COMMON])
+    assert metrics["token_acc"] > 0.7, metrics
+    assert metrics["accuracy"] > 0.4, metrics
