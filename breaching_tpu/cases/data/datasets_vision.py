@@ -4,8 +4,10 @@ Replaces the reference's torchvision-backed builders
 (reference: breaching/cases/data/datasets_vision.py:20-148). Two backends:
 
 1. On-disk data if present: CIFAR-10/100 python pickles under
-   `<path>/cifar-10-batches-py` / `cifar-100-python`, or a generic
-   `<path>/<name>_<split>.npz` with arrays (images[N,H,W,C] uint8, labels[N]).
+   `<path>/cifar-10-batches-py` / `cifar-100-python`, a generic
+   `<path>/<name>_<split>.npz` with arrays (images[N,H,W,C] uint8, labels[N]),
+   or an ImageFolder tree (`<path>/{train,val}/<class>/*.{JPEG,png,...}`,
+   the torchvision ImageNet/TinyImageNet layout) decoded lazily via PIL.
 2. A deterministic *synthetic* backend otherwise (this environment has no
    network egress): label-conditioned smooth random images, generated lazily
    per index so even ImageNet-shaped datasets cost nothing upfront.
@@ -127,7 +129,68 @@ def _load_real_data(cfg_data, split: str):
         return _load_cifar_pickles(os.path.join(root, "cifar-10-batches-py"), split, fine=False)
     if name == "cifar100":
         return _load_cifar_pickles(os.path.join(root, "cifar-100-python"), split, fine=True)
-    return None
+    return _load_image_folder(cfg_data, split)
+
+
+_SPLIT_DIRS = {"training": ("train", "training"), "validation": ("val", "validation", "test")}
+_IMG_EXTS = (".jpeg", ".jpg", ".png", ".bmp", ".webp")
+
+
+class _ImageFolder:
+    """Lazy ImageFolder backend (torchvision layout: `<split>/<class>/img`).
+
+    Replaces the reference's torchvision ImageNet/TinyImageNet builders
+    (reference datasets_vision.py:60-83) without materializing the dataset:
+    paths are indexed once, images are decoded + resized per access, so an
+    ImageNet-sized tree costs nothing upfront. Resize follows the reference
+    eval transform: shorter-side resize to ~1.14x target then center crop.
+    """
+
+    def __init__(self, samples, shape):
+        self.samples = samples  # list of file paths, class-sorted
+        self.shape = shape  # (C, H, W) from the data config
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        _, h, w = self.shape
+        with Image.open(self.samples[idx]) as im:
+            im = im.convert("RGB")
+            scale = max(h / im.height, w / im.width) * 1.14
+            if abs(scale - 1.0) > 1e-3:
+                im = im.resize((max(w, round(im.width * scale)),
+                                max(h, round(im.height * scale))), Image.BILINEAR)
+            left, top = (im.width - w) // 2, (im.height - h) // 2
+            im = im.crop((left, top, left + w, top + h))
+            return np.asarray(im, dtype=np.uint8)
+
+
+def _load_image_folder(cfg_data, split: str):
+    root = os.path.expanduser(str(cfg_data.path))
+    candidates = []
+    for split_dir in _SPLIT_DIRS.get(split, (split,)):
+        candidates.append(os.path.join(root, split_dir))
+        candidates.append(os.path.join(root, cfg_data.name, split_dir))
+    folder = next((c for c in candidates if os.path.isdir(c)), None)
+    if folder is None:
+        return None
+    class_dirs = sorted(d for d in os.listdir(folder)
+                        if os.path.isdir(os.path.join(folder, d)))
+    if not class_dirs:
+        return None
+    samples, labels = [], []
+    for cls_idx, cls in enumerate(class_dirs[: int(cfg_data.classes)]):
+        cls_path = os.path.join(folder, cls)
+        for fname in sorted(os.listdir(cls_path)):
+            if fname.lower().endswith(_IMG_EXTS):
+                samples.append(os.path.join(cls_path, fname))
+                labels.append(cls_idx)
+    if not samples:
+        return None
+    return _ImageFolder(samples, cfg_data.shape), np.asarray(labels, np.int64)
 
 
 def _load_cifar_pickles(folder: str, split: str, fine: bool):

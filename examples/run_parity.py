@@ -1,0 +1,115 @@
+"""Golden parity sweep: run every example setting at paper scale and harvest
+metrics for PARITY.md (VERDICT round-1 item 10).
+
+Runs each named setting from examples/run_example.py with --full (paper-scale
+iteration counts), one at a time, dumping metrics to outputs/metrics_<name>.yaml
+and a combined table to outputs/parity_table.tsv. Resumable: settings whose
+metrics yaml already exists are skipped unless --force.
+
+Usage: python examples/run_parity.py [name ...] [--force]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Ordered cheapest-first so a partial sweep still yields rows.
+SWEEP = [
+    # analytic / fast
+    "sanity_check",
+    "rgap",
+    "robbing_the_fed",
+    "curious_abandon_honesty",
+    "april",
+    # text / decepticon family
+    "decepticons_transformer",
+    "decepticons_gpt2",
+    "decepticons_bert",
+    "decepticons_hf_gpt2",
+    "decepticons_hf_bert",
+    "tag",
+    "permutation",
+    # optimization-based vision (paper-scale iteration counts)
+    "deep_leakage",
+    "beyond_inferring",
+    "inverting_gradients_resnet18",
+    "modern_hyperparams",
+    "inverting_gradients_fedavg",
+    "multiscale",
+    "see_through_gradients",
+    "fishing",
+    "inverting_large_batch_cifar",
+]
+
+TIMEOUT_S = {  # generous per-setting budgets (compile + run)
+    "inverting_large_batch_cifar": 14400,
+    "see_through_gradients": 10800,
+    "inverting_gradients_resnet18": 5400,
+    "modern_hyperparams": 5400,
+    "inverting_gradients_fedavg": 7200,
+    "multiscale": 7200,
+    "fishing": 5400,
+}
+DEFAULT_TIMEOUT_S = 3600
+
+
+def harvest(name):
+    path = os.path.join("outputs", f"metrics_{name}.yaml")
+    if not os.path.exists(path):
+        return None
+    import yaml
+
+    with open(path) as fh:
+        return yaml.safe_load(fh)
+
+
+def main():
+    force = "--force" in sys.argv
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    names = wanted or SWEEP
+    os.makedirs("outputs/parity", exist_ok=True)
+    results = {}
+    for name in names:
+        existing = None if force else harvest(name)
+        if existing is not None:
+            print(f"[parity] {name}: cached", flush=True)
+            results[name] = existing
+            continue
+        log_path = os.path.join("outputs", "parity", f"{name}.log")
+        budget = TIMEOUT_S.get(name, DEFAULT_TIMEOUT_S)
+        print(f"[parity] {name}: running (budget {budget}s) -> {log_path}", flush=True)
+        t0 = time.time()
+        with open(log_path, "w") as fh:
+            try:
+                rc = subprocess.run(
+                    [sys.executable, "examples/run_example.py", name, "--full"],
+                    stdout=fh, stderr=subprocess.STDOUT, timeout=budget,
+                ).returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+        dt = time.time() - t0
+        metrics = harvest(name)
+        print(f"[parity] {name}: rc={rc} in {dt:.0f}s "
+              f"psnr={None if not metrics else metrics.get('psnr')}", flush=True)
+        if metrics is not None:
+            metrics["_wall_s"] = round(dt, 1)
+            results[name] = metrics
+
+    with open("outputs/parity_table.tsv", "w") as fh:
+        cols = ["psnr", "rpsnr", "lpips", "mse", "accuracy", "token_acc",
+                "sacrebleu", "rougeL", "_wall_s"]
+        fh.write("name\t" + "\t".join(cols) + "\n")
+        for name, m in results.items():
+            fh.write(name + "\t" + "\t".join(
+                f"{m.get(c):.4f}" if isinstance(m.get(c), float) else str(m.get(c, ""))
+                for c in cols) + "\n")
+    print(json.dumps({k: {c: v.get(c) for c in ("psnr", "accuracy", "_wall_s")}
+                      for k, v in results.items()}, default=str))
+
+
+if __name__ == "__main__":
+    main()
