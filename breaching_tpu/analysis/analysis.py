@@ -138,11 +138,14 @@ def _compute_iip(rec_den, ref_den, cfg_case, model=None, scores=("pixel", "self"
         from ..attacks.auxiliaries.regularizers import _find_sown
 
         @jax.jit
-        def feats(x):
-            _, aux = model.apply(model.params, model.buffers,
-                                 (x - dm) / ds, train=False, capture=True)
+        def _feats(p, b, x):
+            # params as jit args, not baked constants (see _feature_space_mse)
+            _, aux = model.apply(p, b, (x - dm) / ds, train=False, capture=True)
             f = _find_sown(aux.get("intermediates", {}), "features")
             return f.reshape(x.shape[0], -1)
+
+        def feats(x):
+            return _feats(model.params, model.buffers, x)
 
         try:
             out["IIP-self"] = float(M.image_identifiability_precision(
@@ -182,13 +185,19 @@ def _feature_space_mse(rec_data, true_data, server_payload, model):
     params = jax.tree_util.tree_map(jnp.asarray, server_payload[0]["parameters"])
     buffers = server_payload[0]["buffers"] or model.buffers
 
+    # params/buffers enter as jit ARGUMENTS: closing over them would bake
+    # ~100MB of weights into the HLO as constants, which the axon remote
+    # compiler rejects (HTTP 413) for ViT/ResNet-50-sized payload models.
     @jax.jit
-    def features_of(x):
-        _, aux = model.apply(params, buffers, x, train=False, capture=True)
+    def _features(p, b, x):
+        _, aux = model.apply(p, b, x, train=False, capture=True)
         inter = aux.get("intermediates", {})
         from ..attacks.auxiliaries.regularizers import _find_sown
 
         return _find_sown(inter, "features")
+
+    def features_of(x):
+        return _features(params, buffers, x)
 
     def as_model_input(x):
         arr = jnp.asarray(x)

@@ -143,8 +143,11 @@ class RecursiveAttacker(_BaseAttacker):
 
             return jax.grad(contraction)(kernel).reshape(-1)
 
-        W = np.asarray(jax.jacfwd(conv_apply)(jnp.zeros(x_len)), np.float64)        # (y_len, x_len)
-        K = np.asarray(jax.jacfwd(weight_grad_of_x)(jnp.zeros(x_len)), np.float64)  # (w_len, x_len)
+        # exact-f32 operator entries: TPU DEFAULT precision would materialize
+        # the circulants through bf16 passes and poison the f64 recursion
+        with jax.default_matmul_precision("highest"):
+            W = np.asarray(jax.jacfwd(conv_apply)(jnp.zeros(x_len)), np.float64)        # (y_len, x_len)
+            K = np.asarray(jax.jacfwd(weight_grad_of_x)(jnp.zeros(x_len)), np.float64)  # (w_len, x_len)
 
         A = np.concatenate([K, W], axis=0)
         b = np.concatenate([g_w, out[:y_len]], axis=0)

@@ -116,7 +116,7 @@ class UserSingleStep:
             (_, aux), grads = jax.value_and_grad(task_loss, has_aux=True)(params)
             return grads, aux.get("batch_stats", buffers)
 
-        def update(params, buffers, inputs, labels, key):
+        def _update(params, buffers, inputs, labels, key):
             key_in, key_grad = jax.random.split(key)
             if input_noise > 0:
                 inputs = _tree_add_noise(inputs, key_in, input_noise, distribution)
@@ -134,6 +134,16 @@ class UserSingleStep:
             if grad_noise > 0:
                 grads = _tree_add_noise(grads, key_grad, grad_noise, distribution)
             return grads, new_buffers
+
+        def update(params, buffers, inputs, labels, key):
+            # The victim's update runs ONCE per experiment, so exact-f32 matmuls
+            # cost nothing — but TPU DEFAULT precision computes f32 matmuls/convs
+            # in bf16 passes, and that noise wrecks precision-sensitive analytic
+            # attacks (R-GAP drops from PSNR 45 to 6). HIGHEST makes the simulated
+            # FL exchange match the reference's exact-f32 CPU/CUDA math; the
+            # attacker's own hot loop keeps DEFAULT.
+            with jax.default_matmul_precision("highest"):
+                return _update(params, buffers, inputs, labels, key)
 
         return jax.jit(update)
 
@@ -303,8 +313,10 @@ class UserMultiStep(UserSingleStep):
             return (params, new_buffers), None
 
         def run(params, buffers, step_inputs, step_labels, keys):
-            (final_params, final_buffers), _ = jax.lax.scan(
-                step, (params, buffers), (step_inputs, step_labels, keys))
+            # exact-f32 matmuls for the victim's local steps (see UserSingleStep)
+            with jax.default_matmul_precision("highest"):
+                (final_params, final_buffers), _ = jax.lax.scan(
+                    step, (params, buffers), (step_inputs, step_labels, keys))
             delta = jax.tree_util.tree_map(lambda a, b: a - b, final_params, params)
             return delta, final_buffers
 
