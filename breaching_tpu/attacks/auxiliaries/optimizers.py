@@ -52,10 +52,133 @@ def optimizer_lookup(optim_name: str, step_size: float, scheduler=None, warmup=0
     if name == "gd":
         return optax.sgd(schedule), False
     if name == "l-bfgs":
-        # L-BFGS needs the loss value/function at update time (closure semantics);
-        # the attack loop passes them through optax's extra-args mechanism.
-        return optax.lbfgs(
-            learning_rate=None,
-            linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20),
-        ), True
+        # torch.optim.LBFGS semantics (reference common.py:18): FIXED step size
+        # (no line search — a failed zoom linesearch returns a zero step, which
+        # poisons the (s, y) memory and freezes the attack permanently; measured
+        # on DLG) and up to `max_iter=20` internal iterations per outer .step()
+        # call, each re-evaluating the closure. The attack loop passes the loss
+        # closure through optax's extra-args mechanism (needs_value_fn=True).
+        return _torch_like_lbfgs(schedule, max_inner=20), True
     raise ValueError(f"Invalid optimizer {optim_name} given.")
+
+
+def _torch_like_lbfgs(schedule, max_inner: int = 20, history: int = 100,
+                      tolerance_grad: float = 1e-7,
+                      tolerance_change: float = 1e-9):
+    """A jittable L-BFGS matching `torch.optim.LBFGS(lr=...)` semantics.
+
+    One `update` call = one `.step(closure)`: up to `max_inner` fixed-step
+    iterations re-evaluating the closure between them, two-loop recursion over
+    a rolling (s, y) history with the `ys > 1e-10` curvature guard, the global
+    first step scaled by `min(1, 1/||g||_1)`, and torch's four break conditions
+    (grad sup-norm, non-descent directional derivative, step sup-norm, loss
+    change) — those breaks are what keeps the fixed-step method from diverging
+    (torch lbfgs.py:345-470). optax.lbfgs was unusable here: its zoom
+    linesearch returns a zero step on failure, which poisons the memory and
+    froze DLG permanently, and its fixed-step variant diverges without torch's
+    guards. Everything is masked `lax` control flow, so the whole inner loop
+    lives inside the attack scan and vmaps over restart trials.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.flatten_util import ravel_pytree
+
+    m = history
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        n = flat.shape[0]
+        dt = flat.dtype
+        return dict(
+            s=jnp.zeros((m, n), dt), y=jnp.zeros((m, n), dt),
+            rho=jnp.zeros((m,), dt), num_old=jnp.zeros((), jnp.int32),
+            h_diag=jnp.ones((), dt), prev_grad=jnp.zeros((n,), dt),
+            d=jnp.zeros((n,), dt), t=jnp.zeros((), dt),
+            n_iter=jnp.zeros((), jnp.int32), outer=jnp.zeros((), jnp.int32),
+        )
+
+    def _two_loop(g, s, y, rho, num_old, h_diag):
+        idxs = jnp.arange(m)
+        valid = idxs >= (m - num_old)  # history is ordered oldest -> newest
+
+        def bwd(i, carry):
+            q, al = carry
+            j = m - 1 - i
+            a = jnp.where(valid[j], rho[j] * jnp.dot(s[j], q), 0.0)
+            return q - a * y[j], al.at[j].set(a)
+
+        q, al = jax.lax.fori_loop(0, m, bwd, (-g, jnp.zeros((m,), g.dtype)))
+        r = q * h_diag
+
+        def fwd(j, r):
+            b = rho[j] * jnp.dot(y[j], r)
+            return r + jnp.where(valid[j], al[j] - b, 0.0) * s[j]
+
+        return jax.lax.fori_loop(0, m, fwd, r)
+
+    def update(updates, state, params=None, *, value=None, grad=None,
+               value_fn=None, **extra):
+        grad = updates if grad is None else grad
+        flat_params, unravel = ravel_pytree(params)
+        flat_grad, _ = ravel_pytree(grad)
+        lr = jnp.asarray(schedule(state["outer"]), flat_params.dtype)
+        value_and_grad = jax.value_and_grad(lambda f: value_fn(unravel(f)))
+
+        def inner(carry, _):
+            p, g, loss, st, done = carry
+            first_global = st["n_iter"] == 0
+            # ---- memory update from the PREVIOUS step (torch lbfgs.py:389-416)
+            y_new = g - st["prev_grad"]
+            s_new = st["d"] * st["t"]
+            ys = jnp.dot(y_new, s_new)
+            admit = jnp.logical_and(~first_global, ys > 1e-10)
+            s_hist = jnp.where(admit, jnp.roll(st["s"], -1, 0).at[-1].set(s_new), st["s"])
+            y_hist = jnp.where(admit, jnp.roll(st["y"], -1, 0).at[-1].set(y_new), st["y"])
+            rho = jnp.where(admit, jnp.roll(st["rho"], -1).at[-1].set(1.0 / ys), st["rho"])
+            num_old = jnp.where(admit, jnp.minimum(st["num_old"] + 1, m), st["num_old"])
+            h_diag = jnp.where(admit, ys / jnp.dot(y_new, y_new), st["h_diag"])
+
+            d = _two_loop(g, s_hist, y_hist, rho, num_old, h_diag)
+            t = jnp.where(first_global,
+                          jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(g))) * lr, lr)
+            gtd = jnp.dot(g, d)
+            # pre-step breaks: optimality / non-descent direction
+            stop = jnp.logical_or(jnp.max(jnp.abs(g)) <= tolerance_grad,
+                                  gtd > -tolerance_change)
+            step_now = jnp.logical_and(~done, ~stop)
+
+            p_try = p + t * d
+            loss_try, g_try = value_and_grad(p_try)
+            accept = jnp.logical_and(step_now, jnp.isfinite(loss_try))
+            p_next = jnp.where(accept, p_try, p)
+            g_next = jnp.where(accept, g_try, g)
+            loss_next = jnp.where(accept, loss_try, loss)
+            # post-step breaks: tiny step / tiny loss change / blow-up
+            done_next = (done | stop
+                         | (jnp.max(jnp.abs(t * d)) <= tolerance_change)
+                         | (jnp.abs(loss_try - loss) < tolerance_change)
+                         | ~jnp.isfinite(loss_try))
+
+            st_next = dict(
+                s=jnp.where(step_now, s_hist, st["s"]),
+                y=jnp.where(step_now, y_hist, st["y"]),
+                rho=jnp.where(step_now, rho, st["rho"]),
+                num_old=jnp.where(step_now, num_old, st["num_old"]),
+                h_diag=jnp.where(step_now, h_diag, st["h_diag"]),
+                prev_grad=jnp.where(step_now, g, st["prev_grad"]),
+                d=jnp.where(step_now, d, st["d"]),
+                t=jnp.where(step_now, t, st["t"]),
+                n_iter=st["n_iter"] + step_now.astype(jnp.int32),
+                outer=st["outer"],
+            )
+            return (p_next, g_next, loss_next, st_next, done_next), None
+
+        carry0 = (flat_params, flat_grad, jnp.asarray(value), state,
+                  jnp.zeros((), bool))
+        (flat_final, _, _, final_state, _), _ = jax.lax.scan(
+            inner, carry0, None, length=max_inner)
+        final_state = dict(final_state, outer=state["outer"] + 1)
+        total = unravel(flat_final - flat_params)
+        return total, final_state
+
+    return optax.GradientTransformationExtraArgs(init, update)

@@ -36,6 +36,9 @@ SWEEP = [
     # optimization-based vision (paper-scale iteration counts)
     "deep_leakage",
     "beyond_inferring",
+    "wei_framework",
+    "legacy_hyperparams",
+    "dlg_text",
     "inverting_gradients_resnet18",
     "modern_hyperparams",
     "inverting_gradients_fedavg",
