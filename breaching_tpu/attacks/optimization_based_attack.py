@@ -166,6 +166,12 @@ class OptimizationBasedAttacker(_BaseAttacker):
         if self.modality != "vision":
             return candidate_tree  # no pixel box for text embeddings
         out = dict(candidate_tree)
+        # NOTE: deliberately jnp.clip, not ops.box_project — XLA fuses the clip
+        # into the optimizer-update elementwise chain (zero extra HBM passes),
+        # while a pallas_call is a fusion boundary that would force the whole
+        # candidate through HBM twice. The Pallas kernel exists as a measured
+        # alternative (tests/test_ops.py); the fused objective variants are the
+        # ones worth opting into (attack.objective.type=fused-cosine-similarity).
         out["data"] = jnp.clip(candidate_tree["data"], min_box, max_box)
         return out
 

@@ -34,10 +34,12 @@ EXAMPLES = {
                          "case/server=malicious-transformer", "case.model=bert-base-uncased"],
     "decepticons_gpt2": ["case=10_causal_lang_training", "attack=decepticon",
                          "case/server=malicious-transformer", "case.model=gpt2S"],
-    # real HuggingFace Flax architectures (reference notebook hyperparameters)
+    # real HuggingFace Flax architectures (reference notebook hyperparameters;
+    # full-size models — the positional-correlation margin scales with hidden
+    # dim, so the -S test configs are NOT representative of attack quality)
     "decepticons_hf_gpt2": [
         "case=10_causal_lang_training", "attack=decepticon",
-        "case/server=malicious-transformer", "case.model=hf-gpt2S",
+        "case/server=malicious-transformer", "case.model=hf-gpt2",
         "case.server.param_modification.v_length=32",
         "case.server.param_modification.eps=1e-8",
         "case.server.param_modification.measurement_scale=1e6",
@@ -45,9 +47,9 @@ EXAMPLES = {
         "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.0"],
     "decepticons_hf_bert": [
         "case=9_bert_training", "attack=decepticon",
-        "case/server=malicious-transformer", "case.model=hf-bertS",
+        "case/server=malicious-transformer", "case.model=hf-bert",
         "case.server.param_modification.reset_embedding=True",
-        "case.server.param_modification.v_length=16",
+        "case.server.param_modification.v_length=32",
         "case.server.param_modification.eps=1e-8",
         "case.server.param_modification.measurement_scale=1e8",
         "case.server.param_modification.softmax_skew=1e8",
