@@ -211,11 +211,16 @@ class OptimizationBasedAttacker(_BaseAttacker):
         augmentations = self.augmentations
         differentiable_augs = bool(self.cfg.differentiable_augmentations)
 
-        def matching_loss(candidate_tree, aug_key, extra=()):
+        def matching_loss(candidate_tree, aug_key, extra=(), consts=None):
             # `extra` carries per-trial (target_grads, labels) for fleet mode:
             # N independent experiments vmapped over the trials axis (each
             # trial matches its own user's gradient — the TPU-native form of
             # the reference's sequential benchmark loop, benchmark_breaches.py).
+            # `consts` optionally carries (params, buffers, grads) as RUNTIME
+            # arguments — the attack scan passes them through the jit boundary
+            # so ResNet-50/WRN-sized weights+targets are device buffers, not
+            # HLO constants (baked constants blow the axon remote-compile
+            # request limit with HTTP 413 above ~45M parameters).
             candidate = candidate_tree["data"]
             if augmentations:
                 augmented = candidate
@@ -223,15 +228,17 @@ class OptimizationBasedAttacker(_BaseAttacker):
                     augmented = aug(augmented, jax.random.fold_in(aug_key, i))
                 candidate = augmented if differentiable_augs else (
                     candidate + jax.lax.stop_gradient(augmented - candidate))
+            p_list = consts["params"] if consts is not None else params_list
+            b_list = consts["buffers"] if consts is not None else buffers_list
             if extra:
                 trial_grads_list, eff_labels = (extra[0],), extra[1]
             else:
-                trial_grads_list = grads_list
+                trial_grads_list = consts["grads"] if consts is not None else grads_list
                 eff_labels = self._effective_labels(candidate_tree, labels)
             total = jnp.zeros((), candidate.dtype)
             task_total = jnp.zeros((), candidate.dtype)
             intermediates = []
-            for p, b, g in zip(params_list, buffers_list, trial_grads_list):
+            for p, b, g in zip(p_list, b_list, trial_grads_list):
                 obj, task, inter = objective(
                     p, b, g, candidate, eff_labels, bn_train=bn_train, capture=need_capture)
                 total = total + obj
@@ -249,6 +256,8 @@ class OptimizationBasedAttacker(_BaseAttacker):
             return total
 
         matching_loss.outer_reg_value = outer_reg_value if outer_regs else None
+        matching_loss.consts = dict(params=params_list, buffers=buffers_list,
+                                    grads=grads_list)
         return matching_loss
 
     # ------------------------------------------------------------------ core loop
@@ -284,6 +293,16 @@ class OptimizationBasedAttacker(_BaseAttacker):
             candidates = dict(candidates, data=data0.astype(candidates["data"].dtype))
 
         total_loss = self._build_loss_fn(rec_models, shared_data, labels)
+        if not hasattr(total_loss, "consts"):
+            # subclass loss without the consts protocol (e.g. permutation):
+            # keep the 4-arg calling convention, with nothing to thread through
+            base_loss = total_loss
+
+            def total_loss(c, k, e=(), consts=None, _base=base_loss):  # noqa: F811
+                return _base(c, k, e)
+
+            total_loss.outer_reg_value = getattr(base_loss, "outer_reg_value", None)
+            total_loss.consts = {}
         optimizer, needs_value_fn = optimizer_lookup(
             cfg_optim.optimizer, float(cfg_optim.step_size),
             scheduler=cfg_optim.step_size_decay, warmup=int(cfg_optim.warmup or 0),
@@ -331,12 +350,12 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
         needs_aug_key = bool(self.augmentations) or langevin > 0
 
-        def step(carry, iteration):
+        def step(carry, iteration, consts):
             candidate, opt_state, best, best_val, trial_key, extra = carry
             # PRNG folding costs a per-step threefry launch; skip it when nothing
             # in the step consumes randomness.
             aug_key = jax.random.fold_in(trial_key, iteration) if needs_aug_key else trial_key
-            (value, task_loss), grad = value_and_grad(candidate, aug_key, extra)
+            (value, task_loss), grad = value_and_grad(candidate, aug_key, extra, consts)
             if outer_vg is not None:
                 # candidate-only regularizers (TV/norm/orthogonality): value and
                 # grad computed outside the second-order matching graph. Profiling
@@ -350,7 +369,7 @@ class OptimizationBasedAttacker(_BaseAttacker):
             grad = transform_grads(grad, iteration, trial_key)
             if needs_value_fn:
                 def full_value(c):
-                    v = total_loss(c, aug_key, extra)[0]
+                    v = total_loss(c, aug_key, extra, consts)[0]
                     return v + (outer_reg_value(c) if outer_reg_value else 0.0)
 
                 updates, opt_state = optimizer.update(
@@ -370,8 +389,9 @@ class OptimizationBasedAttacker(_BaseAttacker):
             best_val = jnp.where(improved, value, best_val)
             return (new_candidate, opt_state, best, best_val, trial_key, extra), (value, task_loss)
 
-        def run_chunk_single(carry, start, length):
-            return jax.lax.scan(step, carry, start + jnp.arange(length))
+        def run_chunk_single(carry, start, length, consts):
+            return jax.lax.scan(lambda c, i: step(c, i, consts), carry,
+                                start + jnp.arange(length))
 
         chunk_runners = {}
 
@@ -380,16 +400,22 @@ class OptimizationBasedAttacker(_BaseAttacker):
         # and portable to backends where the default is 3-pass).
         matmul_precision = "bfloat16" if self.cfg.impl.get("mixed_precision") else None
 
+        # model weights + target gradients cross the jit boundary as runtime
+        # buffers (see matching_loss.consts) — baking them as HLO constants
+        # blows the axon remote-compile request limit above ~45M params
+        loss_consts = jax.tree_util.tree_map(jnp.asarray, total_loss.consts)
+
         def run_chunk(carry, start, length):
             if length not in chunk_runners:
                 # donate the carry: candidates/opt state/best buffers update in place
                 chunk_runners[length] = jax.jit(
-                    jax.vmap(lambda c, s: run_chunk_single(c, s, length), in_axes=(0, None)),
+                    jax.vmap(lambda c, s, k: run_chunk_single(c, s, length, k),
+                             in_axes=(0, None, None)),
                     donate_argnums=(0,))
             if matmul_precision:
                 with jax.default_matmul_precision(matmul_precision):
-                    return chunk_runners[length](carry, start)
-            return chunk_runners[length](carry, start)
+                    return chunk_runners[length](carry, start, loss_consts)
+            return chunk_runners[length](carry, start, loss_consts)
 
         opt_state = jax.vmap(optimizer.init)(candidates)
         # materialize a distinct copy: best and candidates must not alias once the
@@ -482,18 +508,24 @@ class OptimizationBasedAttacker(_BaseAttacker):
                 local_hp["labels"] = jnp.asarray(np.stack([np.asarray(l) for l in local_hp["labels"]]))
             objective.initialize(self.loss_fn, rec_models[0], local_hp, self.cfg.impl)
 
-            def score_one(candidate_tree):
+            bn_train = bool(getattr(rec_models[0], "bn_train", False))
+
+            def score_one(candidate_tree, consts):
+                # params/grads as jit args, not baked constants (413 limit)
                 eff_labels = self._effective_labels(candidate_tree, labels)
                 total = 0.0
-                for model, data in zip(rec_models, shared_data):
-                    obj, _, _ = objective(model.params, model.buffers, data["gradients"],
-                                          candidate_tree["data"], eff_labels,
-                                          bn_train=bool(getattr(model, "bn_train", False)))
+                for p, b, g in zip(consts["params"], consts["buffers"], consts["grads"]):
+                    obj, _, _ = objective(p, b, g, candidate_tree["data"], eff_labels,
+                                          bn_train=bn_train)
                     total = total + obj
                 return total
 
-            scores = np.asarray(jax.jit(jax.vmap(score_one))(
-                jax.tree_util.tree_map(jnp.asarray, best_trees)))
+            score_consts = jax.tree_util.tree_map(jnp.asarray, dict(
+                params=tuple(m.params for m in rec_models),
+                buffers=tuple(m.buffers or {} for m in rec_models),
+                grads=tuple(d["gradients"] for d in shared_data)))
+            scores = np.asarray(jax.jit(jax.vmap(score_one, in_axes=(0, None)))(
+                jax.tree_util.tree_map(jnp.asarray, best_trees), score_consts))
         elif scoring in ("TV", "total-variation"):
             tv = TotalVariation(scale=1.0)
             scores = np.asarray(jax.jit(jax.vmap(lambda t: tv(t["data"])))(
