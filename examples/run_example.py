@@ -44,7 +44,9 @@ EXAMPLES = {
         "case.server.param_modification.eps=1e-8",
         "case.server.param_modification.measurement_scale=1e6",
         "case.server.param_modification.softmax_skew=1e8",
-        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.0"],
+        # the notebook's embedding_token_weight=0.25 note measurably helps the
+        # short-sequence synthetic corpus (repeat-count estimation is the cap)
+        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.25"],
     "decepticons_hf_bert": [
         "case=9_bert_training", "attack=decepticon",
         "case/server=malicious-transformer", "case.model=hf-bert",
@@ -53,7 +55,8 @@ EXAMPLES = {
         "case.server.param_modification.eps=1e-8",
         "case.server.param_modification.measurement_scale=1e8",
         "case.server.param_modification.softmax_skew=1e8",
-        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.0"],
+        # mixed = decoder-bias (BERT's MLM head leaks counts) + greedy embedding
+        "attack.token_strategy=mixed", "attack.embedding_token_weight=0.25"],
     "tag": ["case=10_causal_lang_training", "attack=tag"],
     "permutation": ["case=10_causal_lang_training", "attack=permutation"],
     "sanity_check": ["case=0_sanity_check", "attack=analytic"],
