@@ -75,11 +75,12 @@ def main():
         raise SystemExit(1)
     name = sys.argv[1]
     extra = [a for a in sys.argv[2:] if a != "--full"]
-    overrides = EXAMPLES[name] + ([] if "--full" in sys.argv else DEMO) + extra
+    overrides = ([f"name={name}"] + EXAMPLES[name]
+                 + ([] if "--full" in sys.argv else DEMO) + extra)
 
     import simulate_breach
 
-    sys.argv = ["simulate_breach.py", *overrides, f"name={name}"]
+    sys.argv = ["simulate_breach.py", *overrides]
     simulate_breach.main_launcher()
 
 
