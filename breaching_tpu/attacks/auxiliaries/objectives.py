@@ -86,6 +86,45 @@ class GradientLoss:
             cast_candidate = (candidate.astype(self.compute_dtype)
                               if self.compute_dtype is not None else candidate)
 
+            accum = int((self.cfg_impl or {}).get("grad_accum", 1) or 1) \
+                if self.cfg_impl is not None else 1
+            n = cast_candidate.shape[0]
+            if accum > 1 and not capture and not bn_train and n % accum == 0:
+                # Large-batch attacks (CIFAR-100 batch of 100 on a 46M-param
+                # WRN) exceed HBM in one double-backward pass: ~30 activation
+                # tensors of up to 256MB live at once. The user's mean gradient
+                # is a mean of micro-batch gradients, so scan over `grad_accum`
+                # chunks with a jax.checkpoint'd step: the scan stores only the
+                # accumulated params-sized sum per step and the backward (and
+                # the attack's second-order pass through it) rematerializes one
+                # micro-batch at a time. Disabled under BN-train mode (batch
+                # stats would change meaning) and capture (intermediates are
+                # full-batch).
+                micro = n // accum
+                chunks = cast_candidate.reshape(accum, micro, *cast_candidate.shape[1:])
+                label_chunks = labels.reshape(accum, micro, *labels.shape[1:])
+
+                @jax.checkpoint
+                def chunk_grads(xc, yc):
+                    def task_loss_fn(p):
+                        outputs, _ = self.model.apply(p, buffers_c, xc,
+                                                      train=False, capture=False)
+                        return self.loss_fn(outputs.astype(jnp.float32), yc)
+                    return jax.value_and_grad(task_loss_fn)(params_c)
+
+                def accumulate(carry, scan_in):
+                    loss_sum, grad_sum = carry
+                    loss_i, grads_i = chunk_grads(*scan_in)
+                    return (loss_sum + loss_i,
+                            jax.tree_util.tree_map(jnp.add, grad_sum, grads_i)), None
+
+                zero = (jnp.zeros((), jnp.float32),
+                        jax.tree_util.tree_map(jnp.zeros_like, params_c))
+                (loss_sum, grad_sum), _ = jax.lax.scan(
+                    accumulate, zero, (chunks, label_chunks))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grad_sum)
+                return grads, loss_sum / accum, {}
+
             def task_loss_fn(p):
                 outputs, aux = self.model.apply(p, buffers_c, cast_candidate,
                                                 train=bn_train, capture=capture)

@@ -11,7 +11,10 @@ sys.path.insert(0, ".")
 EXAMPLES = {
     "inverting_gradients_resnet18": ["case=2_single_imagenet", "attack=invertinggradients"],
     "inverting_gradients_fedavg": ["case=4_fedavg_small_scale", "attack=invertinggradients"],
-    "inverting_large_batch_cifar": ["case=6_large_batch_cifar", "attack=invertinggradients"],
+    # grad_accum=10: one double-backward over the full batch of 100 on the
+    # 46M-param WRN exceeds v5e HBM; checkpointed micro-batches of 10 fit
+    "inverting_large_batch_cifar": ["case=6_large_batch_cifar", "attack=invertinggradients",
+                                    "attack.impl.grad_accum=10"],
     "deep_leakage": ["case=1_single_image_small", "attack=deepleakage",
                      "case.user.provide_labels=False"],
     "beyond_inferring": ["case=1_single_image_small", "attack=beyondinfering"],

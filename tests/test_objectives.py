@@ -83,3 +83,38 @@ def test_pearlmutter_cosine_gradient_matches_exact():
     exact = jax.grad(lambda x: CosineSimilarity().gradient_based_loss(g_of_x(x), target))(x0)
     pearl = jax.grad(lambda x: PearlmutterCosine().gradient_based_loss(g_of_x(x), target))(x0)
     np.testing.assert_allclose(np.asarray(exact), np.asarray(pearl), rtol=1e-4)
+
+
+def test_grad_accum_matches_full_batch():
+    """impl.grad_accum micro-batching (checkpointed scan) must reproduce the
+    full-batch objective value and candidate gradient exactly (the user's mean
+    gradient is a mean of equal micro-batch gradients)."""
+    import jax
+
+    import breaching_tpu as breaching
+    from breaching_tpu.attacks.auxiliaries.objectives import CosineSimilarity
+
+    cfg = breaching.get_config([
+        "case=1_single_image_small", "attack=invertinggradients",
+        "case.model=ConvNetSmall16", "case.data.shape=[3, 16, 16]",
+        "case.user.num_data_points=8", "case.user.provide_labels=True", "seed=3",
+    ])
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    shared, payloads, true_data = server.run_protocol(user)
+    grads = shared[0]["gradients"]
+    labels = jnp.asarray(true_data["labels"])
+    candidate = jnp.asarray(true_data["data"]) + 0.1
+
+    def value_and_grad(impl):
+        obj = CosineSimilarity(scale=1.0)
+        obj.initialize(server.loss, server.model, None, impl)
+        fn = lambda c: obj(server.model.params, server.model.buffers, grads,
+                           c, labels)[0]
+        return jax.value_and_grad(fn)(candidate)
+
+    v_full, g_full = value_and_grad({"grad_accum": 1})
+    v_acc, g_acc = value_and_grad({"grad_accum": 4})
+    assert np.allclose(v_full, v_acc, rtol=1e-5), (v_full, v_acc)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_acc),
+                               rtol=1e-4, atol=1e-6)
