@@ -12,9 +12,12 @@ EXAMPLES = {
     "inverting_gradients_resnet18": ["case=2_single_imagenet", "attack=invertinggradients"],
     "inverting_gradients_fedavg": ["case=4_fedavg_small_scale", "attack=invertinggradients"],
     # grad_accum=10: one double-backward over the full batch of 100 on the
-    # 46M-param WRN exceeds v5e HBM; checkpointed micro-batches of 10 fit
+    # 46M-param WRN exceeds v5e HBM; checkpointed micro-batches of 10 fit.
+    # callback=100: at ~3 it/s a 1000-iteration chunk is a single >5-minute
+    # device execution, which trips the remote worker deadline.
     "inverting_large_batch_cifar": ["case=6_large_batch_cifar", "attack=invertinggradients",
-                                    "attack.impl.grad_accum=10"],
+                                    "attack.impl.grad_accum=10",
+                                    "attack.optim.callback=100"],
     "deep_leakage": ["case=1_single_image_small", "attack=deepleakage",
                      "case.user.provide_labels=False"],
     "beyond_inferring": ["case=1_single_image_small", "attack=beyondinfering"],
@@ -60,6 +63,21 @@ EXAMPLES = {
         "case.server.param_modification.softmax_skew=1e8",
         # mixed = decoder-bias (BERT's MLM head leaks counts) + greedy embedding
         "attack.token_strategy=mixed", "attack.embedding_token_weight=0.25"],
+    # text imprints (reference wikitext notebooks: 128 sentences x 32 tokens)
+    "robbing_the_fed_text": [
+        "case=10_causal_lang_training", "attack=imprint",
+        "case/server=malicious-model-rtf",
+        "case.user.num_data_points=128", "case.user.user_idx=1",
+        "case.server.model_modification.num_bins=512",
+        "case.server.model_modification.linfunc=randn"],
+    "curious_abandon_honesty_text": [
+        "case=10_causal_lang_training", "attack=imprint",
+        "case/server=malicious-model-cah",
+        "case.user.num_data_points=128", "case.user.user_idx=1",
+        "case.server.model_modification.num_bins=512",
+        "case.server.model_modification.sigma=0.5",
+        "case.server.model_modification.mu=0",
+        "case.server.model_modification.scale_factor=0.999"],
     "tag": ["case=10_causal_lang_training", "attack=tag"],
     "permutation": ["case=10_causal_lang_training", "attack=permutation"],
     "sanity_check": ["case=0_sanity_check", "attack=analytic"],

@@ -33,6 +33,8 @@ SWEEP = [
     "decepticons_hf_bert",
     "tag",
     "permutation",
+    "robbing_the_fed_text",
+    "curious_abandon_honesty_text",
     # optimization-based vision (paper-scale iteration counts)
     "deep_leakage",
     "beyond_inferring",
