@@ -36,7 +36,10 @@ def main_process(process_idx, local_group_size, cfg):
     cfg.case.user.user_idx = -1
 
     fleet = max(int(cfg.get("fleet", 1) or 1), 1)
-    if fleet > 1 and not hasattr(attacker, "reconstruct_fleet"):
+    if fleet > 1 and not getattr(attacker, "supports_fleet", False):
+        # hasattr is not enough: subclasses inherit reconstruct_fleet but may
+        # ignore the per-trial `extra` channel (permutation, joint, multiscale)
+        # and would silently match the wrong users' gradients
         log.info(f"Attack {cfg.attack.attack_type} has no fleet mode; running sequentially.")
         fleet = 1
 
@@ -84,19 +87,35 @@ def main_process(process_idx, local_group_size, cfg):
                     payloads, shared_user_data, server.secrets, dryrun=cfg.dryrun)
                 reconstructions = [reconstruction]
             wave_time = (time.time() - local_run_time) / len(wave)
-            for user, (shared_user_data, payloads, true_user_data), reconstruction in zip(
-                    wave, exchanges, reconstructions):
-                metrics = breaching.analysis.report(
-                    reconstruction, true_user_data, payloads, server.model,
-                    order_batch=True, compute_full_iip=True, cfg_case=cfg.case, setup=setup)
-                row = dict(spent_time=wave_time, user_idx=user.user_idx, **{
-                    k: v for k, v in metrics.items() if not isinstance(v, (list, dict, type(None)))})
-                overall_metrics.append(row)
-                breaching.utils.save_summary(cfg, metrics, stats, wave_time,
-                                             table_name="benchmark")
-                if cfg.save_reconstruction:
-                    breaching.utils.save_reconstruction(
-                        reconstruction, payloads, true_user_data, cfg)
+            trials_per = max(len([k for k in stats if k.startswith("Trial_")])
+                             // max(len(wave), 1), 1)
+            for w, (user, (shared_user_data, payloads, true_user_data), reconstruction) \
+                    in enumerate(zip(wave, exchanges, reconstructions)):
+                try:
+                    metrics = breaching.analysis.report(
+                        reconstruction, true_user_data, payloads, server.model,
+                        order_batch=True, compute_full_iip=True, cfg_case=cfg.case, setup=setup)
+                    if len(wave) > 1:
+                        # slice THIS user's trial traces out of the batched stats
+                        user_stats = {k: v for k, v in stats.items()
+                                      if not k.startswith("Trial_")}
+                        for t in range(trials_per):
+                            key = f"Trial_{w * trials_per + t}_Val"
+                            if key in stats:
+                                user_stats[f"Trial_{t}_Val"] = stats[key]
+                    else:
+                        user_stats = stats
+                    row = dict(spent_time=wave_time, user_idx=user.user_idx, **{
+                        k: v for k, v in metrics.items() if not isinstance(v, (list, dict, type(None)))})
+                    overall_metrics.append(row)
+                    breaching.utils.save_summary(cfg, metrics, user_stats, wave_time,
+                                                 table_name="benchmark")
+                    if cfg.save_reconstruction:
+                        breaching.utils.save_reconstruction(
+                            reconstruction, payloads, true_user_data, cfg)
+                except Exception as e:  # noqa: BLE001 — keep the rest of the wave
+                    log.info(f"Report for user {user.user_idx} failed with "
+                             f"{type(e).__name__}: {e}. Continuing.")
             if cfg.dryrun:
                 break
         except Exception as e:  # noqa: BLE001 — continue the fleet on per-user failure

@@ -17,8 +17,12 @@ Key design differences from the torch version:
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
+
+log = logging.getLogger(__name__)
 
 
 def _leaves(tree):
@@ -89,7 +93,19 @@ class GradientLoss:
             accum = int((self.cfg_impl or {}).get("grad_accum", 1) or 1) \
                 if self.cfg_impl is not None else 1
             n = cast_candidate.shape[0]
-            if accum > 1 and not capture and not bn_train and n % accum == 0:
+            if accum > 1 and n % accum != 0:
+                # fall back to the largest divisor — silently dropping the flag
+                # would reinstate the OOM it exists to prevent
+                adjusted = next(d for d in range(min(accum, n), 0, -1) if n % d == 0)
+                log.warning(
+                    f"grad_accum={accum} does not divide the batch of {n}; "
+                    f"using grad_accum={adjusted}.")
+                accum = adjusted
+            if accum > 1 and (capture or bn_train):
+                log.warning(
+                    "grad_accum ignored: capture-intermediates regularizers and "
+                    "bn-train mode need the full batch in one pass.")
+            if accum > 1 and not capture and not bn_train:
                 # Large-batch attacks (CIFAR-100 batch of 100 on a 46M-param
                 # WRN) exceed HBM in one double-backward pass: ~30 activation
                 # tensors of up to 256MB live at once. The user's mean gradient

@@ -3,7 +3,8 @@
 Counterpart of reference breaching/attacks/auxiliaries/common.py:5-40 (and the
 vendored GradualWarmupScheduler). Optimizers become optax gradient transforms and
 schedules become optax schedules, so the whole update lives inside the jitted
-attack scan. L-BFGS uses optax's implementation with a zoom linesearch.
+attack scan. L-BFGS is a direct jittable implementation of torch.optim.LBFGS
+semantics (see _torch_like_lbfgs — optax's variant was unusable here).
 """
 
 from __future__ import annotations
@@ -124,7 +125,7 @@ def _torch_like_lbfgs(schedule, max_inner: int = 20, history: int = 100,
         lr = jnp.asarray(schedule(state["outer"]), flat_params.dtype)
         value_and_grad = jax.value_and_grad(lambda f: value_fn(unravel(f)))
 
-        def inner(carry, _):
+        def inner(carry, is_last):
             p, g, loss, st, done = carry
             first_global = st["n_iter"] == 0
             # ---- memory update from the PREVIOUS step (torch lbfgs.py:389-416)
@@ -148,8 +149,14 @@ def _torch_like_lbfgs(schedule, max_inner: int = 20, history: int = 100,
             step_now = jnp.logical_and(~done, ~stop)
 
             p_try = p + t * d
-            loss_try, g_try = value_and_grad(p_try)
-            accept = jnp.logical_and(step_now, jnp.isfinite(loss_try))
+            # torch skips the closure re-evaluation on the final inner iteration
+            # ('if n_iter != max_iter', lbfgs.py) and accepts the step blindly —
+            # the next outer step's own evaluation supplies fresh (value, grad).
+            # Scalar-predicate cond: stays a true branch under the trial vmap.
+            loss_try, g_try = jax.lax.cond(
+                is_last, lambda q: (loss, g), value_and_grad, p_try)
+            accept = jnp.logical_and(
+                step_now, jnp.logical_or(is_last, jnp.isfinite(loss_try)))
             p_next = jnp.where(accept, p_try, p)
             g_next = jnp.where(accept, g_try, g)
             loss_next = jnp.where(accept, loss_try, loss)
@@ -175,8 +182,9 @@ def _torch_like_lbfgs(schedule, max_inner: int = 20, history: int = 100,
 
         carry0 = (flat_params, flat_grad, jnp.asarray(value), state,
                   jnp.zeros((), bool))
+        is_last = jnp.arange(max_inner) == max_inner - 1
         (flat_final, _, _, final_state, _), _ = jax.lax.scan(
-            inner, carry0, None, length=max_inner)
+            inner, carry0, is_last)
         final_state = dict(final_state, outer=state["outer"] + 1)
         total = unravel(flat_final - flat_params)
         return total, final_state

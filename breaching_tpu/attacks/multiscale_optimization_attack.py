@@ -22,6 +22,8 @@ log = logging.getLogger(__name__)
 
 
 class MultiScaleOptimizationAttacker(OptimizationBasedAttacker):
+
+    supports_fleet = False  # loss/reconstruct stages ignore the fleet `extra` channel
     def _scale_pyramid(self):
         size = self.data_shape[1]
         num_stages = int(self.cfg.num_stages)

@@ -40,6 +40,12 @@ log = logging.getLogger(__name__)
 class OptimizationBasedAttacker(_BaseAttacker):
     """Implements the full spectrum of optimization-based attacks."""
 
+    # reconstruct_fleet batches independent experiments through the loss's
+    # per-trial `extra` channel; subclasses whose loss ignores `extra` or whose
+    # reconstruct() adds stages on top (pyramid, joint labels, permutation)
+    # must opt out or they would silently match the wrong gradients.
+    supports_fleet = True
+
     def __init__(self, model, loss_fn, cfg_attack, setup):
         super().__init__(model, loss_fn, cfg_attack, setup)
         objective_cls = objective_lookup.get(self.cfg.objective.type)

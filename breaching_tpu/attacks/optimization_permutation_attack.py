@@ -34,6 +34,8 @@ def sinkhorn_knopp(matrix, sub_iterations: int = 20, eps: float = 1e-9):
 class OptimizationPermutationAttacker(OptimizationBasedAttacker):
     """Optimizes token order given a leaked token bag."""
 
+    supports_fleet = False  # loss/reconstruct stages ignore the fleet `extra` channel
+
     def reconstruct(self, server_payload, shared_data, server_secrets=None,
                     initial_data=None, dryrun=False):
         self._vocab_size = int(server_payload[0]["metadata"].vocab_size)

@@ -20,6 +20,8 @@ from .optimization_based_attack import OptimizationBasedAttacker
 class OptimizationJointAttacker(OptimizationBasedAttacker):
     """Optimizes candidate data and soft labels jointly."""
 
+    supports_fleet = False  # loss/reconstruct stages ignore the fleet `extra` channel
+
     def reconstruct(self, server_payload, shared_data, server_secrets=None,
                     initial_data=None, dryrun=False):
         if shared_data[0]["metadata"]["labels"] is not None:

@@ -85,6 +85,9 @@ def main():
             results[name] = existing
             continue
         log_path = os.path.join("outputs", "parity", f"{name}.log")
+        stale = os.path.join("outputs", f"metrics_{name}.yaml")
+        if os.path.exists(stale):  # else a failed rerun would harvest old numbers
+            os.remove(stale)
         budget = TIMEOUT_S.get(name, DEFAULT_TIMEOUT_S)
         print(f"[parity] {name}: running (budget {budget}s) -> {log_path}", flush=True)
         t0 = time.time()
