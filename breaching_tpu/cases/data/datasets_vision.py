@@ -159,6 +159,8 @@ class _ImageFolder:
         _, h, w = self.shape
         with Image.open(self.samples[idx]) as im:
             im = im.convert("RGB")
+            if (im.height, im.width) == (h, w):  # already target-sized
+                return np.asarray(im, dtype=np.uint8)
             scale = max(h / im.height, w / im.width) * 1.14
             if abs(scale - 1.0) > 1e-3:
                 im = im.resize((max(w, round(im.width * scale)),
@@ -213,6 +215,30 @@ def _load_cifar_pickles(folder: str, split: str, fine: bool):
         images.append(data)
         labels.append(np.asarray(entry[label_key]))
     return np.concatenate(images), np.concatenate(labels)
+
+
+def measure_mean_std(dataset, max_items=None):
+    """Per-channel mean/std of a dataset via a parallel Welford merge
+    (reference: _get_meanstd, datasets_vision.py:178-197). Operates on the
+    UN-normalized pixel values, so it's the tool for calibrating a data
+    config's mean/std entries from an on-disk dataset."""
+    mean = np.zeros(3, np.float64)
+    m2 = np.zeros(3, np.float64)
+    n = 0
+    count = len(dataset) if max_items is None else min(len(dataset), max_items)
+    for i in range(count):
+        sample = dataset[i]["inputs"]
+        # undo the view's normalization to measure raw pixels
+        pixels = (np.asarray(sample, np.float64) * dataset.std + dataset.mean)
+        pixels = pixels.reshape(-1, pixels.shape[-1]).T  # (C, HW)
+        n_b = pixels.shape[1]
+        dm = pixels.mean(axis=1)
+        ds = pixels.var(axis=1, ddof=1)
+        n_a, n = n, n + n_b
+        delta = dm - mean
+        mean += delta * n_b / n
+        m2 += ds * (n_b - 1) + delta ** 2 * n_a * n_b / n
+    return mean.tolist(), np.sqrt(m2 / max(n - 1, 1)).tolist()
 
 
 # ---------------------------------------------------------------------------

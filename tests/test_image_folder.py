@@ -57,3 +57,26 @@ def test_missing_tree_falls_back_to_synthetic(tmp_path):
     ds = VisionDataset(_cfg(tmp_path / "nothing_here", classes=4), "training")
     assert len(ds) > 0  # synthetic backend
     assert ds[0]["inputs"].shape == (16, 16, 3)
+
+
+def test_measure_mean_std(tmp_path):
+    """Welford merge reproduces numpy's global per-channel stats. (The
+    reference's merge has a variance bug — ds/(n_b-1) instead of ds*(n_b-1),
+    _get_meanstd datasets_vision.py:190 — fixed here and verified.)"""
+    from breaching_tpu.cases.data.datasets_vision import measure_mean_std
+
+    rng = np.random.default_rng(5)
+    imgs = (rng.uniform(0, 255, size=(6, 16, 16, 3))).astype(np.uint8)
+    root = tmp_path
+    for split in ("train",):
+        for c in range(3):
+            d = root / split / f"n{c:04d}"
+            d.mkdir(parents=True)
+            for i in range(2):
+                # PNG: lossless, exact-size (the loader skips resize/crop)
+                Image.fromarray(imgs[c * 2 + i]).save(d / f"img_{i}.png")
+    ds = VisionDataset(_cfg(root), "training")
+    mean, std = measure_mean_std(ds)
+    flat = imgs.astype(np.float64).reshape(-1, 3) / 255.0
+    np.testing.assert_allclose(mean, flat.mean(axis=0), atol=1e-3)
+    np.testing.assert_allclose(std, flat.std(axis=0, ddof=1), atol=1e-3)
