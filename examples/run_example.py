@@ -22,7 +22,13 @@ EXAMPLES = {
                      "case.user.provide_labels=False"],
     "beyond_inferring": ["case=1_single_image_small", "attack=beyondinfering"],
     "wei_framework": ["case=1_single_image_small", "attack=wei"],
-    "see_through_gradients": ["case=5_small_batch_imagenet", "attack=seethroughgradients"],
+    # reference notebook: single image, unique-class partition, user sends
+    # BN statistics with the gradient (no public buffers)
+    "see_through_gradients": ["case=5_small_batch_imagenet", "attack=seethroughgradients",
+                              "case.data.partition=unique-class",
+                              "case.user.num_data_points=1",
+                              "case.server.provide_public_buffers=False",
+                              "case.user.provide_buffers=True"],
     "modern_hyperparams": ["case=2_single_imagenet", "attack=modern"],
     "legacy_hyperparams": ["case=2_single_imagenet", "attack=legacy"],
     "multiscale": ["case=2_single_imagenet", "attack=multiscale_ghiasi"],
