@@ -74,12 +74,14 @@ EXAMPLES = {
         "case=10_causal_lang_training", "attack=imprint",
         "case/server=malicious-model-rtf",
         "case.user.num_data_points=128", "case.user.user_idx=1",
+        "case.data.default_clients=1000",  # synthetic corpus: 200k seqs total
         "case.server.model_modification.num_bins=512",
         "case.server.model_modification.linfunc=randn"],
     "curious_abandon_honesty_text": [
         "case=10_causal_lang_training", "attack=imprint",
         "case/server=malicious-model-cah",
         "case.user.num_data_points=128", "case.user.user_idx=1",
+        "case.data.default_clients=1000",
         "case.server.model_modification.num_bins=512",
         "case.server.model_modification.sigma=0.5",
         "case.server.model_modification.mu=0",
@@ -87,8 +89,10 @@ EXAMPLES = {
     "tag": ["case=10_causal_lang_training", "attack=tag"],
     "permutation": ["case=10_causal_lang_training", "attack=permutation"],
     "sanity_check": ["case=0_sanity_check", "attack=analytic"],
+    # callback=25: each L-BFGS iteration is ~21 closure evals, so a 100-iter
+    # transformer chunk exceeds the remote worker deadline
     "dlg_text": ["case=10_causal_lang_training", "attack=deepleakage",
-                 "case.user.provide_labels=False"],
+                 "case.user.provide_labels=False", "attack.optim.callback=25"],
 }
 
 # demo-scale overrides (drop with --full)
