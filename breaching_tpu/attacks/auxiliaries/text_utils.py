@@ -150,15 +150,19 @@ def recover_token_information(attacker, user_data, server_payload, model):
             return np.array([], np.int64)  # no embedding signal at all
         with np.errstate(divide="ignore"):
             log_norm = np.log(wte_norm)
-        finite = np.isfinite(log_norm)
-        mean, std = log_norm[finite].mean(), log_norm[finite].std()
+        if not np.isfinite(log_norm).all():
+            # untied embeddings: rows for absent tokens are EXACTLY zero, so
+            # sparsity is the answer. (The reference reaches the same branch
+            # because its mean over -inf logs makes the cutoff non-finite,
+            # base_attack.py:545-550 — computing the stats over finite rows
+            # only, as a previous version here did, admits just the largest
+            # repeats and drops most of the sentence.)
+            return np.nonzero(wte_norm)[0]
+        mean, std = log_norm.mean(), log_norm.std()
         valid = np.array([], np.int64)
         for _ in range(64):  # the reference loops unboundedly; cap it
             cutoff = mean + cutoff_factor * std
-            if not np.isfinite(cutoff):  # untied weights: exact sparsity
-                valid = np.nonzero(wte_norm)[0]
-            else:
-                valid = np.nonzero(log_norm > cutoff)[0]
+            valid = np.nonzero(log_norm > cutoff)[0]
             if len(valid):
                 break
             cutoff_factor *= 0.8
@@ -189,27 +193,43 @@ def recover_token_information(attacker, user_data, server_payload, model):
             valid = np.argsort(-norm)[:num_missing]
         tokens = valid.tolist()
         if strategy == "embedding-norm":
-            # Repeat counts from SQUARED row norms: per-position embedding-grad
-            # contributions are near-orthogonal, so ||row||^2 scales linearly in
-            # the occurrence count while ||row|| scales as sqrt(count). The
-            # reference's greedy subtraction on linear norms (base_attack.py:
-            # 559-572) under-counts repeats; rounding ||row||^2 against the
-            # median (singleton) energy recovers them (measured 30/32 vs 27/32
-            # multiset overlap on the repetitive synthetic wikitext sentence).
+            # Repeat counts from excess squared row norms. A row's gradient is a
+            # sum of per-occurrence contributions whose alignment varies by
+            # architecture (measured: 7 occurrences gave 22x the singleton
+            # ENERGY on gpt2, 4.9x on a post-LN transformer — between the
+            # orthogonal count*E and the aligned count^2*E regimes), so no fixed
+            # scaling law converts one row to a count. What IS robust: every
+            # distinct input token sits far above the noise floor (1600x gap on
+            # gpt2), and energy above the singleton level is repeat evidence.
+            # So: one slot per valid token, then allocate the remaining
+            # num_missing - len(valid) slots by largest remainder proportional
+            # to excess energy (sq - median sq). The reference's greedy
+            # linear-norm subtraction (base_attack.py:559-572) under-counts
+            # repeats (27/32 vs 31/32 multiset overlap on the repetitive
+            # synthetic wikitext sentence).
             sq = norm[valid] ** 2
-            m_hat = np.median(sq) if len(sq) else 1.0
-            counts = np.maximum(np.round(sq / max(m_hat, 1e-30)).astype(int), 1)
-            tokens = [int(t) for t, c in zip(valid, counts) for _ in range(c)]
-            # reconcile the total against num_missing on the largest rows
-            order = valid[np.argsort(-sq)].tolist()
-            i = 0
-            while len(tokens) != num_missing and order:
-                t = int(order[i % len(order)])
-                if len(tokens) < num_missing:
-                    tokens.append(t)
-                elif tokens.count(t) > 1:
-                    tokens.remove(t)
-                i += 1
+            if len(sq):
+                # the log-std cutoff can admit a few noise rows just above the
+                # threshold; true tokens sit orders of magnitude higher (1600x
+                # measured on gpt2), so filter against the median (singleton)
+                # energy before spending slots on them
+                keep = sq >= 0.25 * np.median(sq)
+                valid, sq = valid[keep], sq[keep]
+            tokens = [int(t) for t in valid]
+            remaining = num_missing - len(tokens)
+            if remaining > 0 and len(sq):
+                excess = np.maximum(sq - np.median(sq), 0.0)
+                total = excess.sum()
+                if total <= 0:  # no repeat evidence: give slots to largest rows
+                    shares = np.zeros(len(sq))
+                    shares[np.argsort(-sq)[:remaining]] = 1.0
+                else:
+                    shares = excess / total * remaining
+                extra = np.floor(shares).astype(int)
+                frac_order = np.argsort(-(shares - extra))
+                for i in frac_order[: remaining - int(extra.sum())]:
+                    extra[i] += 1
+                tokens += [int(t) for t, c in zip(valid, extra) for _ in range(c)]
             tokens = tokens[:num_missing]
         else:
             with np.errstate(divide="ignore"):
