@@ -17,6 +17,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 
 import breaching_tpu as breaching
@@ -24,7 +25,9 @@ import breaching_tpu as breaching
 BASELINE_ITERS_PER_SEC = 27.8
 MEASURE_ITERS = 2100
 CHUNK = 100
-FLEET = 8
+# 8 saturates the chip: measured 382-387 it/s at 8 vs 371 at 16 (the extra
+# batch only adds HBM pressure once the MXU pipeline is full)
+FLEET = int(os.environ.get("BENCH_FLEET", 8))
 
 
 def _steady_rate(stats, streams=1):
