@@ -20,7 +20,11 @@ EXAMPLES = {
                                     "attack.optim.callback=100"],
     "deep_leakage": ["case=1_single_image_small", "attack=deepleakage",
                      "case.user.provide_labels=False"],
-    "beyond_inferring": ["case=1_single_image_small", "attack=beyondinfering"],
+    # notebook overrides: unique-class partition, TV 1e-4 (the yaml default
+    # 0.2352 is the paper's MNIST-scaled value, wrong for 32x32 RGB)
+    "beyond_inferring": ["case=1_single_image_small", "attack=beyondinfering",
+                         "case.data.partition=unique-class", "case.user.user_idx=1",
+                         "attack.regularization.total_variation.scale=1e-4"],
     "wei_framework": ["case=1_single_image_small", "attack=wei"],
     # reference notebook: single image, unique-class partition, user sends
     # BN statistics with the gradient (no public buffers)
