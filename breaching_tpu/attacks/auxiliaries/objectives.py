@@ -149,6 +149,9 @@ class GradientLoss:
             (task_loss, aux), grads = jax.value_and_grad(task_loss_fn, has_aux=True)(params_c)
             return grads, task_loss, aux.get("intermediates", {})
 
+        if self.cfg_impl is not None and int(self.cfg_impl.get("grad_accum", 1) or 1) > 1:
+            log.warning("grad_accum ignored: the multi-step (fedavg) simulated "
+                        "update unrolls full local batches per step.")
         lr = self.local_hyperparams["lr"]
         steps = self.local_hyperparams["steps"]
         data_per_step = self.local_hyperparams["data_per_step"]

@@ -230,6 +230,18 @@ def recover_token_information(attacker, user_data, server_payload, model):
                 for i in frac_order[: remaining - int(extra.sum())]:
                     extra[i] += 1
                 tokens += [int(t) for t, c in zip(valid, extra) for _ in range(c)]
+            if len(tokens) < num_missing:
+                # The no-repeat-evidence fallback grants at most 2 slots per
+                # row (1 share + 1 fractional), which under-fills when
+                # remaining > 2*len(sq); pad deterministically by cycling rows
+                # in descending energy so the final reshape always gets exactly
+                # num_missing tokens.
+                order = ([int(t) for t in valid[np.argsort(-sq)]] if len(sq)
+                         else [int(t) for t in np.argsort(-norm)[:num_missing]])
+                i = 0
+                while len(tokens) < num_missing:
+                    tokens.append(order[i % len(order)])
+                    i += 1
             tokens = tokens[:num_missing]
         else:
             with np.errstate(divide="ignore"):

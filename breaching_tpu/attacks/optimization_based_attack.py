@@ -372,14 +372,19 @@ class OptimizationBasedAttacker(_BaseAttacker):
                 reg_value, reg_grad = outer_vg(candidate)
                 value = value + reg_value
                 grad = jax.tree_util.tree_map(jnp.add, grad, reg_grad)
+            raw_grad = grad
             grad = transform_grads(grad, iteration, trial_key)
             if needs_value_fn:
                 def full_value(c):
                     v = total_loss(c, aug_key, extra, consts)[0]
                     return v + (outer_reg_value(c) if outer_reg_value else 0.0)
 
+                # L-BFGS builds curvature pairs from the gradient it is given vs
+                # the raw gradient of full_value at later evaluations — feed it
+                # the untransformed gradient so the pairs are consistent
+                # (sign/clip/langevin transforms are line-search-incompatible).
                 updates, opt_state = optimizer.update(
-                    grad, opt_state, candidate, value=value, grad=grad,
+                    raw_grad, opt_state, candidate, value=value, grad=raw_grad,
                     value_fn=full_value)
             else:
                 updates, opt_state = optimizer.update(grad, opt_state, candidate)

@@ -148,3 +148,26 @@ def test_bias_text_label_strategy():
     rb = collections.Counter(recv.tolist())
     overlap = sum(min(tb[k], rb[k]) for k in tb)
     assert overlap >= 0.8 * true.size, (overlap, true.size)
+
+
+def test_embedding_norm_underfill_pads_to_num_missing():
+    """ADVICE r2: with one distinct recovered token and num_missing >= 4 the
+    no-repeat-evidence fallback used to return < num_missing tokens and the
+    final reshape raised; now padding cycles rows until the grid is full."""
+    from types import SimpleNamespace
+
+    from breaching_tpu.attacks.auxiliaries.text_utils import recover_token_information
+
+    vocab, dim, seq_len = 16, 4, 8
+    grads = np.zeros((vocab, dim), np.float32)
+    grads[5] = 1.0  # exactly one token row carries gradient signal
+    attacker = SimpleNamespace(cfg={"token_strategy": "embedding-norm",
+                                    "token_cutoff": 3.5})
+    attacker.cfg = type("Cfg", (dict,), {})(attacker.cfg)
+    model = SimpleNamespace(aux={"registry": {"embedding": ("embedding",)}})
+    user_data = [{"metadata": {"num_data_points": 1},
+                  "gradients": {"embedding": jnp.asarray(grads)}}]
+    payload = [{"metadata": SimpleNamespace(shape=[seq_len])}]
+    tokens = recover_token_information(attacker, user_data, payload, model)
+    assert tokens.shape == (1, seq_len)
+    assert np.all(np.asarray(tokens) == 5)
