@@ -54,11 +54,14 @@ def main():
     setup = breaching.utils.system_startup(cfg=cfg)
 
     # --- the 8-experiment wave (users 0..7 of the benchmark case) ---
+    # ONE case (one server, one model) like the reference benchmark loop
+    # (reference benchmark_breaches.py:62-77): every user's gradient is taken
+    # against the SAME weights, which is what fleet batching requires
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
     payload_lists, shared_lists, truths = [], [], []
-    server = None
     for user_idx in range(FLEET):
         cfg.case.user.user_idx = user_idx
-        user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+        user = breaching.cases.construct_user(model, server.loss, cfg.case, setup)
         shared, payloads, true_data = server.run_protocol(user)
         payload_lists.append(payloads)
         shared_lists.append(shared)

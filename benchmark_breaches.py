@@ -118,6 +118,13 @@ def main_process(process_idx, local_group_size, cfg):
                              f"{type(e).__name__}: {e}. Continuing.")
             if cfg.dryrun:
                 break
+        except KeyboardInterrupt:
+            # partial benchmark results on manual interrupt (the reference's
+            # benchmark loop breaks and averages completed trials the same way)
+            log.info(f"Benchmark interrupted manually during users "
+                     f"{[u.user_idx for u in wave]}; averaging "
+                     f"{len(overall_metrics)} completed trials.")
+            break
         except Exception as e:  # noqa: BLE001 — continue the fleet on per-user failure
             # the failed trial(s) still consume their slots (the reference also
             # just logs and moves on) — retrying a persistently failing user

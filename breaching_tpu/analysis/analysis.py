@@ -84,7 +84,11 @@ def _run_vision_metrics(rec_data, true_data, server_payload, model,
         mse=float(mse),
         psnr=float(psnr),
         ssim=float(M.ssim(rec_den, ref_den)),
-        cw_ssim=float(M.cw_ssim(rec_den, ref_den)),
+        # key says "gabor": the index formula is CW-SSIM's but the complex
+        # coefficients come from a Gabor bank, not the reference's DTCWT
+        # (pytorch_wavelets is torch-only); absolute values are NOT comparable
+        # to DTCWT CW-SSIM numbers — golden values in tests/test_aux_subsystems.py
+        gabor_cw_ssim=float(M.cw_ssim(rec_den, ref_den)),
         rpsnr=float(M.registered_psnr(rec_den, ref_den)),
         max_mse=float(jnp.max(jnp.mean(jnp.square(rec_den - ref_den),
                                        axis=tuple(range(1, rec.ndim))))),

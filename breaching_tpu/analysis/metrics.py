@@ -112,15 +112,17 @@ def cw_ssim(rec, ref, k: float = 1e-6):
     return total / len(bank)
 
 
-def _affine_warp(img, theta):
-    """Bilinearly sample one NHWC-less image [H, W, C] through a 2x3 affine map
-    in normalized [-1, 1] coordinates (differentiable, jit/vmap friendly)."""
-    H, W, C = img.shape
+def _grid_coords(H, W):
     ys = jnp.linspace(-1.0, 1.0, H)
     xs = jnp.linspace(-1.0, 1.0, W)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    coords = jnp.stack([gx.ravel(), gy.ravel(), jnp.ones(H * W)], axis=0)  # (3, HW)
-    src = theta @ coords                                                   # (2, HW)
+    return jnp.stack([gx.ravel(), gy.ravel(), jnp.ones(H * W)], axis=0)  # (3, HW)
+
+
+def _sample_normalized(img, src):
+    """Bilinearly sample one [H, W, C] image at normalized [-1, 1] source
+    coordinates src (2, HW) (differentiable, jit/vmap friendly)."""
+    H, W, C = img.shape
     sx = (src[0] + 1.0) * (W - 1) / 2.0
     sy = (src[1] + 1.0) * (H - 1) / 2.0
     x0 = jnp.clip(jnp.floor(sx), 0, W - 2)
@@ -139,24 +141,38 @@ def _affine_warp(img, theta):
     return out.reshape(H, W, C)
 
 
+def _affine_warp(img, theta):
+    """Warp one [H, W, C] image through a 2x3 affine map (6 parameters)."""
+    src = theta @ _grid_coords(*img.shape[:2])
+    return _sample_normalized(img, src)
+
+
+def _projective_warp(img, h8):
+    """Warp one [H, W, C] image through a homography (8 parameters: the 3x3
+    matrix with bottom-right pinned to 1, like kornia's ImageRegistrator
+    'homography' model, reference metrics.py:133-242)."""
+    Hm = jnp.concatenate([h8, jnp.ones((1,), h8.dtype)]).reshape(3, 3)
+    src = Hm @ _grid_coords(*img.shape[:2])
+    w = jnp.where(jnp.abs(src[2]) < 1e-6, jnp.sign(src[2]) * 1e-6 + 1e-12, src[2])
+    return _sample_normalized(img, src[:2] / w)
+
+
 _IDENTITY_THETA = np.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+_IDENTITY_H8 = np.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0], np.float32)
 
 
-@jax.jit
-def _register_affine(rec, ref, steps: int = 200, lr: float = 0.02):
-    """Per-image gradient-based affine registration: optimize the 6 warp params
-    by Adam on MSE(warp(rec), ref). The jitted XLA counterpart of the
-    reference's kornia ImageRegistrator homography (metrics.py:133-242);
-    an affine map absorbs the translation/scale/rotation/shear ambiguities
-    gradient-inversion reconstructions actually exhibit."""
+def _register_warped(rec, ref, warp_fn, theta0_np, steps: int = 200, lr: float = 0.02):
+    """Per-image gradient-based registration: optimize the warp parameters by
+    Adam on MSE(warp(rec), ref). The jitted XLA counterpart of the reference's
+    kornia ImageRegistrator (metrics.py:133-242)."""
     import optax
 
     def one(rec_i, ref_i):
-        theta0 = jnp.asarray(_IDENTITY_THETA)
+        theta0 = jnp.asarray(theta0_np)
         opt = optax.adam(lr)
 
         def loss_fn(theta):
-            return jnp.mean(jnp.square(_affine_warp(rec_i, theta) - ref_i))
+            return jnp.mean(jnp.square(warp_fn(rec_i, theta) - ref_i))
 
         def step(carry, _):
             theta, state = carry
@@ -166,17 +182,35 @@ def _register_affine(rec, ref, steps: int = 200, lr: float = 0.02):
 
         (theta, _), _ = jax.lax.scan(step, (theta0, opt.init(theta0)),
                                      None, length=steps)
-        return _affine_warp(rec_i, theta)
+        return warp_fn(rec_i, theta)
 
     return jax.vmap(one)(rec, ref)
+
+
+@jax.jit
+def _register_affine(rec, ref):
+    """6-parameter affine registration (translation/scale/rotation/shear)."""
+    return _register_warped(rec, ref, _affine_warp, _IDENTITY_THETA)
+
+
+@jax.jit
+def _register_projective(rec, ref):
+    """8-parameter projective registration — absorbs perspective components
+    the affine map cannot (the reference's kornia model is a full homography).
+    Smaller lr: the two perspective parameters scale pixel coordinates
+    nonlinearly and overshoot at the affine step size."""
+    return _register_warped(rec, ref, _projective_warp, _IDENTITY_H8,
+                            steps=300, lr=0.01)
 
 
 def registered_psnr(rec, ref, factor: float = 1.0):
     """Registration-robust PSNR (reference: metrics.py:133-242): the best of
     (a) the unregistered PSNR, (b) a dense grid of small integer translations,
-    and (c) a jitted per-image affine registration (6 params by Adam on MSE,
-    absorbing the scale/rotation ambiguities the shift grid cannot). Never
-    below the unregistered value, matching the reference's max()."""
+    (c) a jitted per-image affine registration (6 params by Adam on MSE,
+    absorbing the scale/rotation ambiguities the shift grid cannot), and
+    (d) a projective (8-param homography) registration matching the
+    reference's kornia model. Never below the unregistered value, matching
+    the reference's max()."""
     shifts = [-2, -1, 0, 1, 2]
 
     def psnr_at(rec_s):
@@ -189,6 +223,7 @@ def registered_psnr(rec, ref, factor: float = 1.0):
             shifted = jnp.roll(rec, (dy, dx), axis=(1, 2))
             best = jnp.maximum(best, psnr_at(shifted))
     best = jnp.maximum(best, psnr_at(_register_affine(rec, ref)))
+    best = jnp.maximum(best, psnr_at(_register_projective(rec, ref)))
     return best
 
 

@@ -22,8 +22,10 @@ host, like the reference (README.md:86 notes the attack is CPU-friendly).
 
 from __future__ import annotations
 
+import functools
 import logging
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -498,12 +500,15 @@ class DecepticonAttacker(AnalyticAttacker):
     def _supplement_from_full_vocabulary(self, recovered_tokens, costs, breached,
                                          embedding_table, norm_scale, norm_bias, v, weight):
         """Replace low-confidence slots by greedy full-vocabulary correlation
-        (reference:591-622). The (slots x vocab) correlation is one matmul."""
-        all_embeddings = _layer_norm(embedding_table, norm_scale, norm_bias)[1:, v:-1]
-        corr = _cross_corrcoef(breached, all_embeddings)
-        score = np.abs(corr) if "abs" in self.cfg.get("matcher", "abs-corrcoef") else corr
-        best = score.argmax(axis=1)
-        best_val = score[np.arange(len(best)), best]
+        (reference:591-622). The (slots x vocab x hidden) correlation runs as
+        one jitted device matmul (SURVEY §3.4) — at gpt2 scale (4096 x 50257 x
+        768) this was the attack's slowest host stage; only the per-slot argmax
+        winners come back to the host."""
+        best, best_val = _device_vocab_match(
+            jnp.asarray(breached, jnp.float32), jnp.asarray(embedding_table),
+            jnp.asarray(norm_scale), jnp.asarray(norm_bias), int(v),
+            "abs" in self.cfg.get("matcher", "abs-corrcoef"))
+        best, best_val = np.asarray(best), np.asarray(best_val)
         replace = best_val * max(weight, 1e-9) > costs
         num_replaced = int(replace.sum())
         if num_replaced:
@@ -517,6 +522,27 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     mean = x.mean(axis=-1, keepdims=True)
     var = x.var(axis=-1, keepdims=True)
     return (x - mean) / np.sqrt(var + eps) * scale + bias
+
+
+@functools.partial(jax.jit, static_argnames=("v", "use_abs"))
+def _device_vocab_match(breached, table, scale, bias, v, use_abs):
+    """Greedy full-vocabulary matcher on device: layer-norm the embedding
+    table, correlate every breached slot against every vocab row in f32
+    (precision pinned — TPU's default bf16 matmul passes would blur
+    correlations between near-identical embedding rows), return each slot's
+    best row index and score."""
+    with jax.default_matmul_precision("highest"):
+        mean = table.mean(axis=-1, keepdims=True)
+        var = table.var(axis=-1, keepdims=True)
+        normed = (table - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+        all_embeddings = normed[1:, v:-1]
+        a = breached - breached.mean(axis=1, keepdims=True)
+        b = all_embeddings - all_embeddings.mean(axis=1, keepdims=True)
+        a = a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-10)
+        b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-10)
+        corr = a @ b.T
+        score = jnp.abs(corr) if use_abs else corr
+        return jnp.argmax(score, axis=1), jnp.max(score, axis=1)
 
 
 def _safe_corrcoef(rows):

@@ -123,6 +123,21 @@ class OptimizationBasedAttacker(_BaseAttacker):
         server_secrets = server_secrets or {}
         n = len(shared_lists)
         all_labels, all_targets, rec_models, stats = [], [], None, None
+        # Fleet batching reuses the LAST experiment's rec_models/stats for all
+        # experiments — correct only when every payload carries identical model
+        # parameters. Benchmark waves satisfy this (one server, one model);
+        # assert it loudly so a future config with per-user models cannot
+        # silently match the wrong weights.
+        ref_params = payload_lists[0][0]["parameters"]
+        for payloads in payload_lists[1:]:
+            same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+                lambda a, b: jnp.array_equal(a, b), ref_params,
+                payloads[0]["parameters"]))
+            if not bool(same):
+                raise ValueError(
+                    "Fleet mode requires identical model parameters across all "
+                    "experiments (the batched trials share one weight tree); "
+                    "got diverging payloads. Run these experiments solo.")
         for payloads, shareds in zip(payload_lists, shared_lists):
             rec_models, labels_i, stats = self.prepare_attack(payloads, shareds)
             normalized = self._shared_data_cache
@@ -418,11 +433,50 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
         def run_chunk(carry, start, length):
             if length not in chunk_runners:
-                # donate the carry: candidates/opt state/best buffers update in place
-                chunk_runners[length] = jax.jit(
-                    jax.vmap(lambda c, s, k: run_chunk_single(c, s, length, k),
-                             in_axes=(0, None, None)),
-                    donate_argnums=(0,))
+                vmapped = jax.vmap(lambda c, s, k: run_chunk_single(c, s, length, k),
+                                   in_axes=(0, None, None))
+                sharding = getattr(self, "_attack_shardings", None)
+                if sharding and sharding["mode"] == "restarts":
+                    # trials axis via shard_map: every device runs the UNCHANGED
+                    # single-device chunk program on its own slice of the trials
+                    # batch — no GSPMD partitioning of the conv double-backward
+                    # (the partitioner produces numerically WRONG values for
+                    # batch-sharded conv backward on some backends; verified
+                    # against solo to ~1e-6 this way, tests/test_parallel.py)
+                    from jax.sharding import PartitionSpec as P
+
+                    shmap = getattr(jax, "shard_map", None)
+                    if shmap is None:  # older jax
+                        from jax.experimental.shard_map import shard_map as shmap
+                    trials_spec, none_spec = P("restarts"), P()
+                    carry_specs = jax.tree_util.tree_map(
+                        lambda _: trials_spec, sharding["carry_struct"])
+                    consts_specs = jax.tree_util.tree_map(
+                        lambda _: none_spec, loss_consts)
+                    specs = dict(in_specs=(carry_specs, none_spec, consts_specs),
+                                 out_specs=(carry_specs, (trials_spec, trials_spec)))
+                    try:
+                        mapped = shmap(vmapped, mesh=sharding["mesh"],
+                                       check_vma=False, **specs)
+                    except TypeError:  # older shard_map: check_rep instead
+                        mapped = shmap(vmapped, mesh=sharding["mesh"],
+                                       check_rep=False, **specs)
+                    chunk_runners[length] = jax.jit(mapped, donate_argnums=(0,))
+                elif sharding:  # "2d": GSPMD channel sharding, pinned both ways
+                    # pin carry shardings on BOTH sides of the jit: without
+                    # out_shardings GSPMD may emit outputs with a different
+                    # layout than the committed inputs, and chunk 2 would
+                    # silently retrace+recompile the whole runner
+                    chunk_runners[length] = jax.jit(
+                        vmapped, donate_argnums=(0,),
+                        in_shardings=(sharding["carry_sh"], None,
+                                      sharding["consts_sh"]),
+                        out_shardings=(sharding["carry_sh"],
+                                       (sharding["val_sh"], sharding["val_sh"])))
+                else:
+                    # donate the carry: candidates/opt state/best buffers update
+                    # in place
+                    chunk_runners[length] = jax.jit(vmapped, donate_argnums=(0,))
             if matmul_precision:
                 with jax.default_matmul_precision(matmul_precision):
                     return chunk_runners[length](carry, start, loss_consts)
@@ -453,6 +507,19 @@ class OptimizationBasedAttacker(_BaseAttacker):
             if restored is not None:
                 carry, iteration = restored
 
+        # --- multi-chip SPMD (attack.impl.sharding): place the PRODUCTION
+        # chunk runner's state on a device mesh. The same jitted scan then runs
+        # on 1 or N chips; XLA partitions the vmapped trials over 'restarts'
+        # and (mode "2d") inserts psum collectives over 'model' for the
+        # channel-sharded gradient-matching reductions. The reference is
+        # strictly single-device (SURVEY §2.9) — this is the TPU scaling path,
+        # exercised end-to-end by __graft_entry__.dryrun_multichip. ---
+        sharding_mode = self.cfg.impl.get("sharding") or None
+        self._attack_shardings = None
+        if sharding_mode:
+            carry, loss_consts = self._shard_attack_state(
+                sharding_mode, num_trials, carry, loss_consts)
+
         # --- profiler hook: trace the first post-compile chunk ---
         trace_dir = self.cfg.impl.get("trace_dir")
         traced = False
@@ -469,6 +536,7 @@ class OptimizationBasedAttacker(_BaseAttacker):
         jit_context = jax.disable_jit() if self.cfg.impl.get("JIT") is False \
             else contextlib.nullcontext()
         with jit_context:
+          try:  # Ctrl-C returns the best-so-far instead of losing the run
             while iteration < max_iterations:
                 length = min(callback, max_iterations - iteration)
                 if trace_dir and not traced and stats["chunk_iters"]:
@@ -503,9 +571,79 @@ class OptimizationBasedAttacker(_BaseAttacker):
                     log.info(f"Recovery loss is non-finite in iteration {iteration}. "
                              f"Cancelling reconstruction!")
                     break
+          except KeyboardInterrupt:
+            # Partial results on manual interrupt (reference
+            # optimization_based_attack.py:75-77, 139-141): `carry` holds the
+            # state of the last dispatched chunk — its best tree is returned.
+            # By the time the blocking np.asarray(values) can observe the
+            # interrupt, the new carry is already assigned, so the donated old
+            # buffers are never read.
+            stats["interrupted_at"] = iteration
+            log.info(f"Recovery interrupted manually at iteration {iteration}; "
+                     f"returning best-so-far candidates.")
 
         _, _, best, best_val, _, _ = carry
         return jax.device_get(best), np.asarray(best_val), stats
+
+    # ------------------------------------------------------------------ sharding
+
+    def _shard_attack_state(self, mode, num_trials, carry, loss_consts):
+        """Shard the chunk-runner inputs over a mesh (attack.impl.sharding).
+
+        mode "restarts": trials axis data-parallel; params/buffers/targets
+        replicated on every chip. mode "2d": leftover devices form a 'model'
+        axis and parameter + target-gradient channels are sharded over it
+        (out-channel megatron rule, parallel/mesh.py:params_partition_specs).
+        Every leaf of the scan carry has a leading [num_trials] axis by
+        construction, so a single P('restarts') spec shards all of them.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_attack_mesh, params_partition_specs
+
+        if mode not in ("restarts", "2d", "model"):
+            raise ValueError(f"Unknown attack.impl.sharding mode {mode!r}; "
+                             f"use 'restarts' or '2d'.")
+        mesh = make_attack_mesh(num_trials, mode)
+        trials = NamedSharding(mesh, P("restarts"))
+        replicated = NamedSharding(mesh, P())
+        carry = jax.tree_util.tree_map(lambda x: jax.device_put(x, trials), carry)
+        if mesh.shape["model"] > 1 and loss_consts:
+            log.warning(
+                "sharding='2d' uses the GSPMD partitioner for channel-sharded "
+                "parameters; on some backends the partitioned conv backward "
+                "deviates numerically from single-device execution (XLA SPMD "
+                "rematerialization fallback). 'restarts' runs through shard_map "
+                "and is bit-comparable to solo.")
+            specs = dict(
+                params=tuple(params_partition_specs(p, mesh)
+                             for p in loss_consts["params"]),
+                buffers=tuple(jax.tree_util.tree_map(lambda _: P(), b)
+                              for b in loss_consts["buffers"]),
+                grads=tuple(params_partition_specs(g, mesh)
+                            for g in loss_consts["grads"]))
+            consts_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), specs)
+            loss_consts = jax.tree_util.tree_map(
+                jax.device_put, loss_consts, consts_shardings)
+            mode = "2d"
+        else:
+            consts_shardings = jax.tree_util.tree_map(
+                lambda _: replicated, loss_consts)
+            loss_consts = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, replicated), loss_consts)
+            mode = "restarts"
+        self._attack_shardings = dict(
+            mode=mode,
+            mesh=mesh,
+            carry_struct=jax.tree_util.tree_map(lambda _: 0, carry),
+            carry_sh=jax.tree_util.tree_map(lambda _: trials, carry),
+            consts_sh=consts_shardings,
+            val_sh=trials,  # per-chunk (values, task_losses): [trials, chunk]
+        )
+        log.info(f"Attack state sharded over mesh {dict(mesh.shape)} "
+                 f"({mesh.devices.size} devices, mode={mode}).")
+        return carry, loss_consts
 
     # ------------------------------------------------------------------ scoring
 

@@ -198,7 +198,7 @@ def _registry(nlayers, positional, tied):
     return reg
 
 
-def construct_text_model(cfg_model, cfg_data, key=None):
+def construct_text_model(cfg_model, cfg_data, key=None, pretrained: bool = False):
     """Text model factory (reference: model_preparation.py:42-131).
 
     bert-/gpt2-style names build architecture-equivalent flax transformers
@@ -240,7 +240,8 @@ def construct_text_model(cfg_model, cfg_data, key=None):
         # note: HF Flax classes are deprecated upstream and lack inputs_embeds,
         # so only token-id attacks apply — reference wraps the torch versions in
         # HuggingFaceContainer, model_preparation.py:97-149)
-        return _construct_hf_flax_model(name[3:], cfg_data, key)
+        return _construct_hf_flax_model(name[3:], cfg_data, key,
+                                        pretrained=pretrained)
     elif "gpt2" in name.lower():
         module = TransformerModel(vocab, 768, 12, 3072, 12, positional_embedding="learnable",
                                   norm_first=True, tie_weights=True)
@@ -265,6 +266,10 @@ def construct_text_model(cfg_model, cfg_data, key=None):
         model.aux = dict(registry=dict(embedding=("embedding",),
                                        decoder_bias=("decoder", "bias")))
 
+    if pretrained:
+        from .model_preparation import _maybe_load_pretrained
+
+        _maybe_load_pretrained(model, cfg_data)
     loss_cls = LOSSES.get(getattr(cfg_data, "task", "causal-lm"), CausalLoss)
     return model, loss_cls()
 
@@ -312,7 +317,7 @@ def _bert_registry(nlayers):
     )
 
 
-def _construct_hf_flax_model(hf_name, cfg_data, key):
+def _construct_hf_flax_model(hf_name, cfg_data, key, pretrained: bool = False):
     """Wrap a HuggingFace Flax LM into the JaxModel contract.
 
     Unlike the round-1 ids-only pass-through, this exposes the full attack
@@ -430,5 +435,9 @@ def _construct_hf_flax_model(hf_name, cfg_data, key):
         params=jax.tree_util.tree_map(jnp.asarray, dict(hf_model.params)),
         buffers={}, modality="text", head_path=head_path, input_example=example,
         aux=dict(registry=registry, ninp=ninp, nhid=nhid, nlayers=nlayers))
+    if pretrained:
+        from .model_preparation import _maybe_load_pretrained
+
+        _maybe_load_pretrained(model, cfg_data)
     loss_cls = LOSSES.get(getattr(cfg_data, "task", "causal-lm"), CausalLoss)
     return model, loss_cls()

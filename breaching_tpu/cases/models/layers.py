@@ -65,11 +65,20 @@ class Conv(nn.Module):
     def __call__(self, x):
         in_features = x.shape[-1]
         fan_in = in_features * self.kernel_size[0] * self.kernel_size[1] // self.feature_group_count
+        padding = self.padding
+        if padding == "SAME" and all(k % 2 == 1 for k in self.kernel_size):
+            # torch pads odd kernels symmetrically by k//2; XLA's SAME is the
+            # same at stride 1 but pads asymmetrically at stride > 1 (e.g.
+            # (2,3) for the 7x7/2 ImageNet stem where torch pads (3,3)).
+            # Explicit symmetric padding keeps output shapes identical AND
+            # makes forwards bit-compatible with converted torch checkpoints
+            # (tools/convert_checkpoint.py).
+            padding = tuple((k // 2, k // 2) for k in self.kernel_size)
         return nn.Conv(
             self.features,
             self.kernel_size,
             strides=self.strides,
-            padding=self.padding,
+            padding=padding,
             use_bias=self.use_bias,
             feature_group_count=self.feature_group_count,
             kernel_init=torch_kaiming_uniform(),

@@ -124,7 +124,7 @@ def construct_model(cfg_model, cfg_data, pretrained: bool = False, key=None):
     if cfg_data.modality == "text":
         from .language_models import construct_text_model
 
-        return construct_text_model(cfg_model, cfg_data, key=key)
+        return construct_text_model(cfg_model, cfg_data, key=key, pretrained=pretrained)
 
     channels, height, width = cfg_data.shape
     classes = cfg_data.classes
@@ -216,6 +216,37 @@ def construct_model(cfg_model, cfg_data, pretrained: bool = False, key=None):
     return model, loss_cls()
 
 
+def load_flat_state(model: JaxModel, flat: dict, strict: bool = False) -> int:
+    """Restore params/buffers from a flat `{"params/a/b": array}` mapping
+    (the layout written by tools/convert_checkpoint.py). Returns the number of
+    leaves replaced; with strict=True, raises if any leaf has no entry or an
+    entry has the wrong shape."""
+    replaced = 0
+
+    def restore(tree, prefix):
+        nonlocal replaced
+
+        def pick(kp, leaf):
+            nonlocal replaced
+            key = prefix + "/".join(str(getattr(k, "key", k)) for k in kp)
+            if key not in flat:
+                if strict:
+                    raise KeyError(f"Checkpoint has no entry for {key}.")
+                return leaf
+            value = jnp.asarray(flat[key])
+            if value.shape != leaf.shape:
+                raise ValueError(f"Checkpoint leaf {key} has shape {value.shape}, "
+                                 f"model expects {leaf.shape}.")
+            replaced += 1
+            return value.astype(leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(pick, tree)
+
+    model.params = restore(model.params, "params/")
+    model.buffers = restore(model.buffers, "buffers/")
+    return replaced
+
+
 def _maybe_load_pretrained(model: JaxModel, cfg_data) -> None:
     """Load converted pretrained weights from <data.path>/checkpoints/<name>.npz if present."""
     import os
@@ -225,15 +256,8 @@ def _maybe_load_pretrained(model: JaxModel, cfg_data) -> None:
     path = os.path.expanduser(os.path.join(str(cfg_data.path), "checkpoints", f"{model.name}.npz"))
     if not os.path.exists(path):
         return
-    flat = dict(np.load(path))
+    replaced = load_flat_state(model, dict(np.load(path)))
+    import logging
 
-    def restore(tree, prefix):
-        return jax.tree_util.tree_map_with_path(
-            lambda kp, leaf: jnp.asarray(
-                flat.get(prefix + "/".join(str(getattr(k, "key", k)) for k in kp), leaf)
-            ),
-            tree,
-        )
-
-    model.params = restore(model.params, "params/")
-    model.buffers = restore(model.buffers, "buffers/")
+    logging.getLogger(__name__).info(
+        f"Loaded {replaced} pretrained tensors for {model.name} from {path}.")

@@ -43,7 +43,9 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU: timm/torch use the exact form, and converted
+        # checkpoints (tools/convert_checkpoint.py) must match forward-for-forward
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, name="fc2")(x)
 
 

@@ -36,6 +36,21 @@ def make_mesh(n_devices: int | None = None, axis_names=("restarts", "model")):
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def make_attack_mesh(num_trials: int, mode: str = "restarts", n_devices: int | None = None):
+    """Mesh for the PRODUCTION attack chunk runner (attack.impl.sharding).
+
+    The restarts axis takes the largest device count that divides num_trials
+    (trials shard evenly); with mode "2d"/"model" the leftover devices become a
+    'model' axis for megatron-style channel sharding of params/target grads.
+    Always 2D (model axis may be size 1) so partition specs are uniform.
+    """
+    n = n_devices or jax.device_count()
+    rest = next(d for d in range(n, 0, -1) if n % d == 0 and num_trials % d == 0)
+    model = n // rest if mode in ("2d", "model") else 1
+    devices = np.asarray(jax.devices()[: rest * model]).reshape(rest, model)
+    return Mesh(devices, ("restarts", "model"))
+
+
 def params_partition_specs(params, mesh, axis: str = "model"):
     """Channel-shard every parameter whose last dim divides the mesh axis size.
 

@@ -61,3 +61,28 @@ def test_cached_dataset_roundtrip():
     assert len(cached) == 5
     np.testing.assert_allclose(cached[2]["inputs"], small[2]["inputs"])
     assert cached[2]["labels"] == small[2]["labels"]
+
+
+def test_gabor_cw_ssim_golden_values():
+    """The CW-SSIM *index formula* matches the reference but the complex
+    coefficients come from a Gabor bank, not pytorch_wavelets' DTCWT — the
+    report key is `gabor_cw_ssim` and these golden values pin THIS metric's
+    scale (identity=1, graceful falloff, near-zero for unrelated images)."""
+    import jax
+    import jax.numpy as jnp
+
+    from breaching_tpu.analysis.metrics import cw_ssim
+
+    rng = np.random.RandomState(0)
+    base = jnp.asarray(jax.nn.sigmoid(2 * jax.image.resize(
+        jnp.asarray(rng.randn(2, 8, 8, 3), jnp.float32), (2, 32, 32, 3), "bilinear")))
+    noisy = base + 0.1 * jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    shifted = jnp.roll(base, (1, 1), axis=(1, 2))
+    random = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+
+    np.testing.assert_allclose(float(cw_ssim(base, base)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(float(cw_ssim(noisy, base)), 0.67789, atol=2e-3)
+    np.testing.assert_allclose(float(cw_ssim(shifted, base)), 0.89044, atol=2e-3)
+    np.testing.assert_allclose(float(cw_ssim(random, base)), 0.06041, atol=2e-3)
+    # shift-robustness ordering: small shift >> independent noise image
+    assert float(cw_ssim(shifted, base)) > float(cw_ssim(random, base)) + 0.5

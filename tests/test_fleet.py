@@ -16,11 +16,13 @@ def test_fleet_matches_sequential_quality():
     ])
     setup = breaching.utils.system_startup(cfg=cfg)
 
+    # one case = one model: fleet batches experiments against SHARED weights
+    # (the reference benchmark constructs the case once, users per trial)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
     payload_lists, shared_lists, truths = [], [], []
-    server = None
     for user_idx in range(3):
         cfg.case.user.user_idx = user_idx
-        user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+        user = breaching.cases.construct_user(model, server.loss, cfg.case, setup)
         shared, payloads, true_data = server.run_protocol(user)
         payload_lists.append(payloads)
         shared_lists.append(shared)
@@ -54,11 +56,11 @@ def test_fleet_with_restarts_selects_per_experiment():
         "attack.restarts.num_trials=2", "seed=5",
     ])
     setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
     payload_lists, shared_lists = [], []
-    server = None
     for user_idx in range(2):
         cfg.case.user.user_idx = user_idx
-        user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+        user = breaching.cases.construct_user(model, server.loss, cfg.case, setup)
         shared, payloads, _ = server.run_protocol(user)
         payload_lists.append(payloads)
         shared_lists.append(shared)
@@ -69,3 +71,38 @@ def test_fleet_with_restarts_selects_per_experiment():
     assert all(np.isfinite(np.asarray(r["data"])).all() for r in results)
     # restarts config restored after the fleet run
     assert int(cfg.attack.restarts.num_trials) == 2
+    # each experiment picked its own argmin over its OWN trial block — the two
+    # users' gradients differ, so the selected reconstructions must too
+    d01 = float(jnp.mean(jnp.square(results[0]["data"] - results[1]["data"])))
+    assert d01 > 1e-4, d01
+
+
+def test_fleet_rejects_diverging_model_parameters():
+    """The batched trials share ONE weight tree; payloads with different
+    parameters must fail loudly instead of silently matching wrong weights."""
+    import jax
+    import pytest
+
+    cfg = breaching.get_config([
+        "case=1_single_image_small", "attack=invertinggradients",
+        "case.model=ConvNetSmall16", "case.data.shape=[3, 16, 16]",
+        "case.user.provide_labels=True", "case.user.num_data_points=1",
+        "attack.optim.max_iterations=2", "attack.optim.callback=1", "seed=5",
+    ])
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    payload_lists, shared_lists = [], []
+    for user_idx in range(2):
+        cfg.case.user.user_idx = user_idx
+        user = breaching.cases.construct_user(model, server.loss, cfg.case, setup)
+        shared, payloads, _ = server.run_protocol(user)
+        payload_lists.append(payloads)
+        shared_lists.append(shared)
+    # corrupt the second experiment's weights
+    payload_lists[1] = list(payload_lists[1])
+    payload_lists[1][0] = dict(payload_lists[1][0], parameters=jax.tree_util.tree_map(
+        lambda x: x + 1e-3, payload_lists[1][0]["parameters"]))
+    attacker = breaching.attacks.prepare_attack(server.model, server.loss,
+                                                cfg.attack, setup)
+    with pytest.raises(ValueError, match="identical model parameters"):
+        attacker.reconstruct_fleet(payload_lists, shared_lists)

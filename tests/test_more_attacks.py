@@ -87,3 +87,38 @@ def test_augmentations_shapes_and_differentiability():
     grad = jax.grad(lambda img: jnp.sum(shift(img, key) ** 2))(x)
     assert np.isfinite(np.asarray(grad)).all()
     assert float(jnp.abs(grad).sum()) > 0
+
+
+def test_keyboard_interrupt_returns_partial_results(monkeypatch):
+    """Ctrl-C mid-attack returns the best-so-far reconstruction (reference
+    optimization_based_attack.py:75-77, 139-141) instead of losing the run."""
+    import breaching_tpu.attacks.optimization_based_attack as oba
+
+    cfg = breaching.get_config([
+        "case=1_single_image_small", "attack=invertinggradients",
+        "case.model=ConvNetSmall16", "case.data.shape=[3, 16, 16]",
+        "case.user.provide_labels=True", "case.user.num_data_points=1",
+        "attack.optim.max_iterations=40", "attack.optim.callback=10", "seed=4",
+    ])
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    attacker = breaching.attacks.prepare_attack(server.model, server.loss,
+                                                cfg.attack, setup)
+    shared, payloads, true_data = server.run_protocol(user)
+
+    real_info = oba.log.info
+    chunks = {"n": 0}
+
+    def interrupting_info(msg, *args, **kwargs):
+        if isinstance(msg, str) and msg.startswith("| It:"):
+            chunks["n"] += 1
+            if chunks["n"] == 2:
+                raise KeyboardInterrupt
+        return real_info(msg, *args, **kwargs)
+
+    monkeypatch.setattr(oba.log, "info", interrupting_info)
+    rec, stats = attacker.reconstruct(payloads, shared, server.secrets)
+    assert stats["interrupted_at"] == 20          # stopped after chunk 2 of 4
+    assert len(stats["Trial_0_Val"]) == 20        # only completed chunks logged
+    assert np.isfinite(np.asarray(rec["data"])).all()
+    assert rec["data"].shape == np.asarray(true_data["data"]).shape

@@ -51,3 +51,53 @@ def test_never_below_shift_grid():
 def test_identical_images_infinite():
     img = _smooth_images(jax.random.PRNGKey(2), n=1)
     assert not np.isfinite(float(registered_psnr(img, img)))
+
+
+def test_projective_registration_beats_affine_on_perspective_warp():
+    """VERDICT r2 #9: a perspective-warped pair that the 6-param affine model
+    cannot fully absorb must register better with the 8-param homography."""
+    from breaching_tpu.analysis.metrics import (_projective_warp,
+                                                _register_affine,
+                                                _register_projective)
+
+    img = _smooth_images(jax.random.PRNGKey(3))
+    h8 = jnp.asarray([1.0, 0.02, 0.01, 0.01, 1.0, -0.01, 0.08, 0.05])
+    warped = jax.vmap(lambda im: _projective_warp(im, h8))(img)
+
+    affine_psnr = float(mse_psnr(_register_affine(warped, img), img, clip=True)[1])
+    proj_psnr = float(mse_psnr(_register_projective(warped, img), img, clip=True)[1])
+    assert proj_psnr >= affine_psnr - 1e-4, (affine_psnr, proj_psnr)
+    assert proj_psnr > affine_psnr + 1.0, (affine_psnr, proj_psnr)
+
+    # and the public metric includes the projective candidate in its max
+    registered = float(registered_psnr(warped, img))
+    assert registered >= proj_psnr - 1e-4
+
+
+def test_iip_full_pool_ranks_perfect_reconstruction_first(tmp_path):
+    """VERDICT r2 #10: iip_pool_cap=0 scores against the FULL validation split
+    (the reference's behavior, metrics.py:245-295); a perfect reconstruction
+    must rank first in all three score spaces (pixel / model-self / lpips)."""
+    import breaching_tpu as breaching
+    from breaching_tpu.analysis.analysis import _compute_iip
+    from breaching_tpu.analysis.lpips import LPIPS
+
+    cfg = breaching.get_config([
+        "case=1_single_image_small", "attack=invertinggradients",
+        "case.data.size=40", "case.impl.iip_pool_cap=0",
+        "case.user.num_data_points=2", "case.user.provide_labels=True", "seed=9",
+    ])
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    shared, payloads, true_data = server.run_protocol(user)
+
+    dm = np.asarray(cfg.case.data.mean, np.float32)
+    ds = np.asarray(cfg.case.data.std, np.float32)
+    true_den = np.clip(np.asarray(true_data["data"]) * ds + dm, 0, 1)
+    scorer = LPIPS.random_init("alex")  # random-calibration stand-in
+
+    out = _compute_iip(jnp.asarray(true_den), jnp.asarray(true_den), cfg.case,
+                       model=server.model, lpips_scorer=scorer, pool_cap=0)
+    assert out["IIP-pixel"] == 1.0, out
+    assert out.get("IIP-self", 1.0) == 1.0, out
+    assert out.get("IIP-lpips", 1.0) == 1.0, out
