@@ -167,6 +167,43 @@ class DecepticonAttacker(AnalyticAttacker):
             recovered_tokens = np.zeros(len_data * seq_len, np.int64)
             slot_costs = np.full(len_data * seq_len, -np.inf)
 
+        # ---- iterative positional refinement (beyond-reference). The initial
+        # row->position match correlates the RAW token+position mixture against
+        # positional references, so sentences with REPEATED tokens misplace
+        # them: the token component dominates the correlation and the
+        # assignment breaks the tie arbitrarily (this is the residual accuracy
+        # gap on short repetitive sequences: token_acc 0.97 vs acc 0.72 on the
+        # 32-token hf-gpt2 setting). Removing each slot's estimated token
+        # direction exposes the positional component; re-matching on that
+        # residual and re-assigning tokens converges in 1-2 passes. ----
+        refine = int(self.cfg.get("position_refinement", 2) or 0)
+        if leaked is None or len(leaked) == 0:
+            refine = 0
+        for _ in range(refine):
+            tok_emb_slots = _layer_norm(embedding_table[recovered_tokens],
+                                        norm_scale, norm_bias)[:, v:-1]
+            residual = self._separate(ordered, tok_emb_slots)
+            new_ordered = np.zeros_like(ordered)
+            for sentence in range(len_data):
+                block = slice(sentence * seq_len, (sentence + 1) * seq_len)
+                rows = ordered[block]
+                filled = np.nonzero(np.linalg.norm(rows, axis=-1) > 0)[0]
+                if len(filled) == 0:
+                    continue
+                pos_idx, sel, _ = self._match_embeddings(
+                    positional_c[:seq_len], residual[block][filled])
+                new_ordered[sentence * seq_len + pos_idx] = rows[filled][sel]
+            if np.array_equal(new_ordered, ordered):
+                break
+            ordered = new_ordered
+            breached_without_positions = self._separate(ordered, positional_c)
+            token_order, slot_sel, costs = self._match_embeddings(
+                breached_without_positions, leaked_emb_c)
+            recovered_tokens = np.zeros(len_data * seq_len, np.int64)
+            slot_costs = np.full(len_data * seq_len, -np.inf)
+            recovered_tokens[token_order] = leaked[slot_sel]
+            slot_costs[token_order] = costs
+
         weight = float(self.cfg.get("embedding_token_weight", 0.25) or 0.0)
         if weight > 0 or leaked is None:
             recovered_tokens = self._supplement_from_full_vocabulary(

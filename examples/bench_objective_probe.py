@@ -8,8 +8,11 @@ Run on the real TPU:  python examples/bench_objective_probe.py [iters]
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import breaching_tpu as breaching
 
