@@ -231,3 +231,37 @@ def test_hf_gpt2_converter_roundtrip(tmp_path):
     with torch.no_grad():
         ref = tm(torch.from_numpy(ids)).logits.numpy()
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-4, atol=2e-4)
+
+
+def test_hf_bert_converter_roundtrip(tmp_path):
+    """Tiny random torch BERT -> save_pretrained -> convert_hf -> npz -> the
+    production pretrained=True path -> same MLM logits."""
+    pytest.importorskip("transformers")
+    from transformers import BertConfig, BertForMaskedLM
+
+    from breaching_tpu.cases.models.language_models import construct_text_model
+    from breaching_tpu.config.loader import ConfigNode
+
+    config = BertConfig(vocab_size=128, hidden_size=96, num_hidden_layers=3,
+                        num_attention_heads=8, intermediate_size=384,
+                        max_position_embeddings=64, hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    tm = BertForMaskedLM(config).eval()
+    src = tmp_path / "bert_src"
+    tm.save_pretrained(src)
+
+    flat = convert_hf(str(src), "hf-bert")
+    save_npz(flat, str(tmp_path), "hf-bertS")
+
+    cfg_data = ConfigNode(
+        name="wikitext", modality="text", task="masked-lm", vocab_size=128,
+        shape=[16], path=str(tmp_path), size=1000, classes=None,
+        examples_from_split="training", partition="none", default_clients=1,
+        batch_size=1, caching=False)
+    model, loss_fn = construct_text_model("hf-bertS", cfg_data, pretrained=True)
+
+    ids = np.random.RandomState(5).randint(0, 128, size=(2, 16))
+    logits, _ = model.apply(model.params, model.buffers, jnp.asarray(ids), train=False)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(ids)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-4, atol=2e-4)
