@@ -9,16 +9,65 @@ exists on disk. `random-tokens` (reference: datasets_text.py:60-64) is uniform b
 construction.
 
 The partition is "given": each user owns a contiguous range of sequences
-(the reference uses natural article/author splits).
+(the reference uses natural article/author splits). For the TFF corpora
+(stackoverflow/shakespeare) a `<path>/<name>.sqlite` database in the TFF schema
+provides the reference's *natural per-client partition* (reference
+datasets_text.py:326-361): user_idx selects a client, whose texts are tokenized
+and grouped into blocks on the fly (see tff_sqlite.py for the format).
 """
 
 from __future__ import annotations
 
 import os
+from types import SimpleNamespace
 
 import numpy as np
 
 from .datasets_vision import _stable_seed
+
+
+class CharTokenizer:
+    """Character-level tokenizer: printable ASCII 32..126 -> 1..95 (clamped to
+    vocab-1), everything else -> 0 (<unk>). Deterministic offline counterpart of
+    the reference's CanineTokenizer option (reference datasets_text.py:141-142,
+    which needs a network fetch of google/canine-c)."""
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = int(vocab_size)
+
+    def encode(self, text: str):
+        ids = [min(ord(c) - 31, self.vocab_size - 1) if 32 <= ord(c) <= 126 else 0
+               for c in text]
+        return SimpleNamespace(ids=ids)
+
+    def get_vocab_size(self) -> int:
+        return self.vocab_size
+
+
+def tokenizer_for(cfg_data, lines=None):
+    """Resolve cfg.data.tokenizer to an object with `.encode(text).ids`.
+
+    word-level: cached `<path>/cache/word-tokenizer_<vocab>.json` if present,
+    else trained on `lines` (the reference trains on ag_news/wikitext downloads,
+    reference wordlevel_tokenizer.py:23-50 — unavailable offline).
+    """
+    name = str(cfg_data.tokenizer)
+    if name == "character":
+        return CharTokenizer(cfg_data.vocab_size)
+    if name == "word-level":
+        from tokenizers import Tokenizer
+
+        from .wordlevel_tokenizer import generate_word_level_tokenizer
+
+        path = os.path.expanduser(os.path.join(
+            str(cfg_data.path), "cache", f"word-tokenizer_{cfg_data.vocab_size}.json"))
+        if os.path.isfile(path):
+            return Tokenizer.from_file(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return generate_word_level_tokenizer(
+            lines=lines, vocab_size=int(cfg_data.vocab_size), save_path=path)
+    raise ValueError(f"Tokenizer {name} requires a network fetch; pre-tokenize "
+                     f"to npz with prepare_text_data.py instead.")
 
 
 class TextDataset:
@@ -85,8 +134,53 @@ class TextDataset:
         view.indices = self.indices[np.asarray(indices)]
         return view
 
+    @classmethod
+    def from_input_ids(cls, cfg_data, split: str, input_ids: np.ndarray):
+        """Wrap an in-memory [N, T] token array (TFF sqlite clients)."""
+        self = cls.__new__(cls)
+        self.cfg = cfg_data
+        self.name = cfg_data.name
+        self.split = split
+        self.seq_len = int(cfg_data.shape[0])
+        self.vocab_size = int(cfg_data.vocab_size)
+        self.task = cfg_data.task
+        self.mlm_probability = float(cfg_data.get("mlm_probability", 0.15) or 0.15)
+        self._raw = np.asarray(input_ids, np.int64)
+        self._size = len(self._raw)
+        self.indices = np.arange(self._size)
+        return self
+
+
+def _build_tff_dataset(cfg_data, db_path: str, user_idx: int,
+                       return_full_dataset: bool):
+    """Natural per-client partition from a TFF-schema sqlite database
+    (reference datasets_text.py:326-361; full dataset = first 250 clients,
+    reference :204-209)."""
+    from ..data.prepare_text_data import tokenize_and_group
+    from .tff_sqlite import TFF_TEXT_FIELDS, load_client_texts, tff_split_name
+
+    split = cfg_data.examples_from_split
+    split_name = tff_split_name(cfg_data.name, split)
+    field = TFF_TEXT_FIELDS[cfg_data.name]
+    if return_full_dataset:
+        from .tff_sqlite import client_ids
+
+        texts = []
+        for idx in range(min(len(client_ids(db_path, split_name)), 250)):
+            texts.extend(load_client_texts(db_path, idx, split_name, field))
+    else:
+        texts = load_client_texts(db_path, int(user_idx or 0), split_name, field)
+    if not texts:
+        raise ValueError(f"This user does not exist or has no data in {db_path}.")
+    ids = tokenize_and_group(texts, tokenizer_for(cfg_data, texts), int(cfg_data.shape[0]))
+    return TextDataset.from_input_ids(cfg_data, split, ids)
+
 
 def build_text_dataset(cfg_data, user_idx: int, return_full_dataset: bool = False):
+    db_path = os.path.expanduser(os.path.join(
+        str(cfg_data.path), f"{cfg_data.name}.sqlite"))
+    if cfg_data.name in ("stackoverflow", "shakespeare") and os.path.exists(db_path):
+        return _build_tff_dataset(cfg_data, db_path, user_idx, return_full_dataset)
     full = TextDataset(cfg_data, split=cfg_data.examples_from_split)
     if return_full_dataset:
         return full

@@ -129,6 +129,10 @@ def _load_real_data(cfg_data, split: str):
         return _load_cifar_pickles(os.path.join(root, "cifar-10-batches-py"), split, fine=False)
     if name == "cifar100":
         return _load_cifar_pickles(os.path.join(root, "cifar-100-python"), split, fine=True)
+    if name == "tinyimagenet":
+        loaded = _load_tiny_imagenet(cfg_data, split)
+        if loaded is not None:
+            return loaded
     return _load_image_folder(cfg_data, split)
 
 
@@ -192,6 +196,37 @@ def _load_image_folder(cfg_data, split: str):
                 labels.append(cls_idx)
     if not samples:
         return None
+    return _ImageFolder(samples, cfg_data.shape), np.asarray(labels, np.int64)
+
+
+def _load_tiny_imagenet(cfg_data, split: str):
+    """The tiny-imagenet-200 zip layout (reference datasets_vision.py:224-350;
+    the download path is env-bound — unzip `tiny-imagenet-200.zip` under
+    cfg.data.path): `train/<wnid>/images/<wnid>_<n>.JPEG`, `val/images/*` with
+    `val/val_annotations.txt`, labels = index into *sorted* wnids.txt."""
+    import glob as _glob
+
+    root = os.path.expanduser(str(cfg_data.path))
+    folder = next((c for c in (os.path.join(root, "tiny-imagenet-200"), root)
+                   if os.path.isfile(os.path.join(c, "wnids.txt"))), None)
+    if folder is None:
+        return None
+    with open(os.path.join(folder, "wnids.txt")) as fh:
+        wnid_to_label = {w: i for i, w in enumerate(sorted(line.strip() for line in fh if line.strip()))}
+
+    split_dir = os.path.join(folder, {"training": "train", "validation": "val"}.get(split, split))
+    samples = sorted(_glob.iglob(os.path.join(split_dir, "**", "*.JPEG"), recursive=True))
+    if not samples:
+        return None
+    if os.path.basename(split_dir) == "val":
+        file_to_label = {}
+        with open(os.path.join(split_dir, "val_annotations.txt")) as fh:
+            for line in fh:
+                terms = line.split("\t")
+                file_to_label[terms[0]] = wnid_to_label[terms[1]]
+        labels = [file_to_label[os.path.basename(p)] for p in samples]
+    else:  # train files are named <wnid>_<n>.JPEG
+        labels = [wnid_to_label[os.path.basename(p).rsplit("_", 1)[0]] for p in samples]
     return _ImageFolder(samples, cfg_data.shape), np.asarray(labels, np.int64)
 
 
