@@ -92,6 +92,7 @@ class Dense(nn.Module):
 
     features: int
     use_bias: bool = True
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -99,7 +100,7 @@ class Dense(nn.Module):
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
-            kernel_init=torch_kaiming_uniform(),
+            kernel_init=self.kernel_init or torch_kaiming_uniform(),
             bias_init=torch_bias_uniform(fan_in),
             name="dense",
         )(x)

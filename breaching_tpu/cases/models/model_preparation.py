@@ -154,9 +154,10 @@ def construct_model(cfg_model, cfg_data, pretrained: bool = False, key=None):
         module = VGG(plan_name=name, num_classes=classes,
                      head="ImageNet" if "ImageNet" in cfg_data.name else "CIFAR")
     elif "nfnet" in lname:
-        from .nfnets import NFNet
+        from .nfnets import NFNet, nfnet_params
 
-        module = NFNet(num_classes=classes,
+        variant = next((v for v in nfnet_params if v.lower() in lname), "F0")
+        module = NFNet(num_classes=classes, variant=variant,
                        stem="ImageNet" if "ImageNet" in cfg_data.name else "CIFAR")
     elif lname == "convnet-trivial":
         from .vision_nets import ConvNetTrivial

@@ -80,3 +80,22 @@ def test_torch_style_init_statistics():
     bound = 1.0 / np.sqrt(fan_in)
     assert np.abs(kernel).max() <= bound + 1e-6
     assert kernel.std() > bound / 4  # roughly uniform, not collapsed
+
+
+def test_nfnet_f0_structure():
+    """Full-F0 fidelity (reference nfnets.py:229-309): four-conv bottleneck with
+    grouped 3x3s (group size 128), per-block zero-init skip_gain, 2x final conv."""
+    from breaching_tpu.cases.models.nfnets import NFNet
+
+    model = NFNet(num_classes=10, stem="CIFAR")
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.ones((1, 32, 32, 3)), train=False),
+        jax.random.PRNGKey(0))
+    p = shapes["params"]
+    # stage2 width 1536 -> bottleneck 768, groups 768//128=6 -> in/groups = 128
+    assert p["stage2_block0"]["conv1"]["kernel"].shape == (3, 3, 128, 768)
+    assert "conv1b" in p["stage2_block0"]
+    assert p["stage0_block0"]["skip_gain"].shape == ()
+    assert p["final_conv"]["kernel"].shape == (1, 1, 1536, 3072)
+    n_params = sum(np.prod(leaf.shape) for leaf in jax.tree.leaves(p))
+    assert 6.0e7 < n_params < 8.5e7  # official F0 ~71.5M
