@@ -38,6 +38,15 @@ class VisionDataset:
         self.std = np.asarray(cfg_data.std, np.float32) if cfg_data.normalize else np.ones(3, np.float32)
         self.classes = [f"class_{i}" for i in range(cfg_data.classes)]
 
+        from .transforms import parse_data_augmentations
+
+        aug_key = "augmentations_train" if split == "training" else "augmentations_val"
+        try:
+            aug_cfg = getattr(cfg_data, aug_key)
+        except (AttributeError, KeyError):
+            aug_cfg = None
+        self.transform = parse_data_augmentations(aug_cfg)
+
         self._raw = _load_real_data(cfg_data, split)
         if self._raw is not None:
             images, labels = self._raw
@@ -66,6 +75,17 @@ class VisionDataset:
             img = self._raw[0][gidx].astype(np.float32) / 255.0
         else:
             img = self._synthesize(gidx)
+        # Config-driven augmentations (reference _parse_data_augmentations,
+        # datasets_vision.py:200-221) run on the [0,1] image before
+        # normalization. Validation transforms (Resize/CenterCrop) are only
+        # needed when the backend hands back a non-target-shaped image (raw
+        # npz); the lazy backends already produce target-shaped arrays, and
+        # re-resizing those would only blur them.
+        if self.transform is not None:
+            _, h, w = self.cfg.shape
+            if self.split == "training" or img.shape[:2] != (h, w):
+                rng = np.random.default_rng(_stable_seed(self.name, self.split, gidx, "aug"))
+                img = self.transform(img, rng)
         img = (img - self.mean) / self.std
         return dict(inputs=img, labels=self._labels[gidx])
 
