@@ -44,6 +44,19 @@ EXAMPLES = {
                                 "case/server=malicious-model-cah"],
     "fishing": ["case=5_small_batch_imagenet", "attack=clsattack",
                 "case/server=malicious-fishing", "case.user.provide_labels=True"],
+    # cross-device feature fishing (reference notebook "Fishing for User Data -
+    # Meta Analytic Attack - Feature Fishing Cross Device": the server
+    # estimates the target class's feature distribution on 55 other users,
+    # cuts the target user at a quantile, then APRIL recovers the isolated
+    # image analytically; ref metrics PSNR 13.76)
+    "fishing_feature_cross_device": [
+        "case=2_single_imagenet", "attack=april_analytic",
+        "case/server=malicious-fishing", "case.model=vit_small_april",
+        "case.data.partition=feat_est", "case.data.examples_from_split=training",
+        "case.data.default_clients=56", "case.server.target_cls_idx=2",
+        "case.data.target_label=2", "case.user.num_data_points=16",
+        "case.data.num_data_points=16", "case.user.provide_labels=True",
+        "case.server.feature_estimation_users=55"],
     "decepticons_transformer": ["case=10_causal_lang_training", "attack=decepticon",
                                 "case/server=malicious-transformer"],
     "decepticons_bert": ["case=9_bert_training", "attack=decepticon",

@@ -26,7 +26,23 @@ def main_process(process_idx, local_group_size, cfg):
     if cfg.case.user.get("user_idx") is None:
         cfg.case.user.user_idx = 0
 
-    shared_user_data, payloads, true_user_data = server.run_protocol(user)
+    n_extra = int(cfg.case.server.get("feature_estimation_users", 0) or 0)
+    if n_extra:
+        # cross-user feature-estimation fishing (reference notebook "Feature
+        # Fishing Cross Device": the server first estimates the target class's
+        # feature distribution on other users, then cuts the target user):
+        # additional users own the next user_idx slots of the partition
+        base_idx = int(cfg.case.user.user_idx)
+        additional_users = []
+        for idx in range(base_idx + 1, base_idx + 1 + n_extra):
+            cfg.case.user.user_idx = idx
+            additional_users.append(
+                breaching.cases.construct_user(model, server.loss, cfg.case, setup))
+        cfg.case.user.user_idx = base_idx
+        shared_user_data, payloads, true_user_data = server.run_protocol(
+            user, additional_users=additional_users)
+    else:
+        shared_user_data, payloads, true_user_data = server.run_protocol(user)
     reconstructed_user_data, stats = attacker.reconstruct(
         payloads, shared_user_data, server.secrets, dryrun=cfg.dryrun)
 

@@ -100,3 +100,40 @@ def test_binary_attack_through_protocol():
     diff = np.mean((rec_grads[0] - rec_grads[2]) ** 2) / (
         np.mean(rec_grads[0] ** 2) + 1e-12)
     assert diff > 1e-3, "different grad_idx must select different examples"
+
+
+def test_feature_estimation_protocol():
+    """Cross-user feature estimation (reference: servers.py:684-714 /
+    "Feature Fishing Cross Device" notebook): additional users' updates
+    estimate the target class's feature distribution, then the target user is
+    cut at a quantile. The returned exchange must isolate a reduced number of
+    contributors and carry the estimated distribution for evaluation."""
+    overrides = [
+        "case=1_single_image_small", "attack=clsattack",
+        "case/server=malicious-fishing", "case.model=ConvNetSmall16",
+        "case.data.shape=[3, 16, 16]", "case.data.partition=feat_est",
+        "case.data.target_label=0", "case.data.num_data_points=2",
+        "case.user.num_data_points=2", "case.user.provide_labels=True",
+        "case.server.target_cls_idx=0", "seed=3",
+    ]
+    cfg = breaching.get_config(overrides)
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    additional = []
+    for idx in (1, 2, 3):
+        cfg.case.user.user_idx = idx
+        additional.append(breaching.cases.construct_user(model, server.loss,
+                                                         cfg.case, setup))
+    shared, payloads, true_data = server.run_protocol(
+        user, additional_users=additional)
+    assert len(shared) == 1 and len(payloads) == 1
+    assert "distribution" in true_data
+    grads = _flat(shared[0]["gradients"])
+    assert np.isfinite(grads).all() and np.abs(grads).sum() > 0
+    # the feature cut must suppress most examples: the head bias gradient row
+    # of the target class dominates
+    classes = int(cfg.case.data.classes)
+    bias_leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(
+        shared[0]["gradients"]) if np.asarray(l).shape == (classes,)]
+    assert bias_leaves, "no head-bias gradient leaf found"
+    assert int(np.argmax(np.abs(bias_leaves[-1]))) == 0
