@@ -96,6 +96,12 @@ def _torch_like_lbfgs(schedule, max_inner: int = 20, history: int = 100,
             h_diag=jnp.ones((), dt), prev_grad=jnp.zeros((n,), dt),
             d=jnp.zeros((n,), dt), t=jnp.zeros((), dt),
             n_iter=jnp.zeros((), jnp.int32), outer=jnp.zeros((), jnp.int32),
+            # backtracking scale for the non-finite-overshoot regime (torch
+            # takes the NaN step and the attack aborts on non-finite loss; we
+            # reject it instead, which without a shrinking scale would retry
+            # the identical overshoot forever — observed as a permanent stall
+            # on transformer DLG)
+            t_scale=jnp.ones((), dt),
         )
 
     def _two_loop(g, s, y, rho, num_old, h_diag):
@@ -125,7 +131,7 @@ def _torch_like_lbfgs(schedule, max_inner: int = 20, history: int = 100,
         lr = jnp.asarray(schedule(state["outer"]), flat_params.dtype)
         value_and_grad = jax.value_and_grad(lambda f: value_fn(unravel(f)))
 
-        def inner(carry, is_last):
+        def inner(carry, _):
             p, g, loss, st, done = carry
             first_global = st["n_iter"] == 0
             # ---- memory update from the PREVIOUS step (torch lbfgs.py:389-416)
@@ -141,7 +147,8 @@ def _torch_like_lbfgs(schedule, max_inner: int = 20, history: int = 100,
 
             d = _two_loop(g, s_hist, y_hist, rho, num_old, h_diag)
             t = jnp.where(first_global,
-                          jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(g))) * lr, lr)
+                          jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(g))) * lr,
+                          lr) * st["t_scale"]
             gtd = jnp.dot(g, d)
             # pre-step breaks: optimality / non-descent direction
             stop = jnp.logical_or(jnp.max(jnp.abs(g)) <= tolerance_grad,
@@ -149,22 +156,33 @@ def _torch_like_lbfgs(schedule, max_inner: int = 20, history: int = 100,
             step_now = jnp.logical_and(~done, ~stop)
 
             p_try = p + t * d
-            # torch skips the closure re-evaluation on the final inner iteration
-            # ('if n_iter != max_iter', lbfgs.py) and accepts the step blindly —
-            # the next outer step's own evaluation supplies fresh (value, grad).
-            # Scalar-predicate cond: stays a true branch under the trial vmap.
-            loss_try, g_try = jax.lax.cond(
-                is_last, lambda q: (loss, g), value_and_grad, p_try)
-            accept = jnp.logical_and(
-                step_now, jnp.logical_or(is_last, jnp.isfinite(loss_try)))
+            # torch skips the closure re-evaluation on the final inner
+            # iteration and accepts the step blindly ('if n_iter != max_iter',
+            # lbfgs.py) — but a blind accept can land in the non-finite region
+            # and poison every future outer call (NaN loss -> NaN grad -> NaN
+            # direction, all rejected: a permanent stall at finite params,
+            # observed on transformer DLG). We evaluate every trial step so the
+            # finiteness guard below applies uniformly; the one extra closure
+            # eval per outer step (21 vs torch's 20) is the price.
+            loss_try, g_try = value_and_grad(p_try)
+            accept = jnp.logical_and(step_now, jnp.isfinite(loss_try))
             p_next = jnp.where(accept, p_try, p)
             g_next = jnp.where(accept, g_try, g)
             loss_next = jnp.where(accept, loss_try, loss)
-            # post-step breaks: tiny step / tiny loss change / blow-up
+            # a rejected overshoot (non-finite loss) backtracks: quarter the
+            # step scale and retry the same direction next inner iteration
+            # instead of breaking (the direction is deterministic in (g,
+            # history), so breaking would retry the identical overshoot on
+            # every future outer call — a permanent stall)
+            blowup = jnp.logical_and(step_now, ~jnp.isfinite(loss_try))
+            t_scale_next = jnp.where(
+                blowup, st["t_scale"] * 0.25,
+                jnp.where(accept, jnp.minimum(st["t_scale"] * 2.0, 1.0),
+                          st["t_scale"]))
+            # post-step breaks: tiny step / tiny loss change
             done_next = (done | stop
                          | (jnp.max(jnp.abs(t * d)) <= tolerance_change)
-                         | (jnp.abs(loss_try - loss) < tolerance_change)
-                         | ~jnp.isfinite(loss_try))
+                         | (jnp.abs(loss_try - loss) < tolerance_change))
 
             st_next = dict(
                 s=jnp.where(step_now, s_hist, st["s"]),
@@ -177,14 +195,14 @@ def _torch_like_lbfgs(schedule, max_inner: int = 20, history: int = 100,
                 t=jnp.where(step_now, t, st["t"]),
                 n_iter=st["n_iter"] + step_now.astype(jnp.int32),
                 outer=st["outer"],
+                t_scale=t_scale_next,
             )
             return (p_next, g_next, loss_next, st_next, done_next), None
 
         carry0 = (flat_params, flat_grad, jnp.asarray(value), state,
                   jnp.zeros((), bool))
-        is_last = jnp.arange(max_inner) == max_inner - 1
         (flat_final, _, _, final_state, _), _ = jax.lax.scan(
-            inner, carry0, is_last)
+            inner, carry0, None, length=max_inner)
         final_state = dict(final_state, outer=state["outer"] + 1)
         total = unravel(flat_final - flat_params)
         return total, final_state
