@@ -367,14 +367,15 @@ class DecepticonAttacker(AnalyticAttacker):
         raise ValueError(f"Invalid sentence algorithm {algorithm} given.")
 
     def _assign_to_seeds(self, components, seeds, seq_len):
-        """Replicate each seed seq_len times and solve the assignment — this is
-        how the reference enforces <= seq_len rows per sentence
-        (analytic_attack.py:703-709)."""
-        replicated = np.repeat(seeds, seq_len, axis=0)
-        ref_idx, query_idx, _ = self._match_embeddings(replicated, components)
-        labels = np.zeros(len(components), np.int64)
-        labels[query_idx] = ref_idx // seq_len
-        return labels
+        """Capacitated assignment of components to seed sentences — the
+        reference replicates each seed seq_len times and solves a dense
+        linear_sum_assignment (analytic_attack.py:703-709); the native solver
+        handles the capacity directly on the (n, k) correlation table."""
+        from .. import native
+
+        corr = _cross_corrcoef(np.asarray(components), np.asarray(seeds))
+        score = np.abs(corr) if "abs" in self.cfg.get("matcher", "abs-corrcoef") else corr
+        return native.capacitated_assignment(-score, seq_len)
 
     def _dynamic_threshold_cluster(self, keys, components, num_sentences, seq_len,
                                    use_median=False, rng=None):
@@ -589,13 +590,18 @@ def _safe_corrcoef(rows):
 
 
 def _constrained_kmeans(rows, k, size_max, rng, n_init=10, max_iter=300, tol=1e-6):
-    """Lloyd iterations with a capacity-constrained assignment step: each
-    centroid is replicated size_max times and rows are matched by
-    linear_sum_assignment, so no cluster can exceed size_max (the reference
-    uses the k_means_constrained package, analytic_attack.py:626-642)."""
-    from scipy.optimize import linear_sum_assignment
+    """Lloyd iterations with a capacity-constrained assignment step, so no
+    cluster can exceed size_max rows (the reference uses the
+    k_means_constrained package, analytic_attack.py:626-642, which solves the
+    same transportation problem with ortools min-cost flow). The assignment
+    runs on the flat (n, k) squared-distance table through the native SSP
+    solver — the previous column-replicated linear_sum_assignment formulation
+    cost ~1.4 s/iteration at the 8x512 GPT-2 notebook scale and its broadcast
+    distance tensor did not fit in memory."""
+    from .. import native
 
     size_max = min(size_max, len(rows))
+    row_sq = np.sum(rows ** 2, axis=1, keepdims=True)
     best_labels, best_inertia = None, np.inf
     for init in range(n_init):
         # k-means++ style seeding
@@ -607,11 +613,9 @@ def _constrained_kmeans(rows, k, size_max, rng, n_init=10, max_iter=300, tol=1e-
         centroids = np.stack(centroids)
         labels = np.zeros(len(rows), np.int64)
         for _ in range(max_iter):
-            rep = np.repeat(centroids, size_max, axis=0)
-            cost = np.sum((rows[:, None, :] - rep[None, :, :]) ** 2, axis=-1)
-            row_ind, col_ind = linear_sum_assignment(cost)
-            new_labels = np.zeros(len(rows), np.int64)
-            new_labels[row_ind] = col_ind // size_max
+            cost = (row_sq - 2.0 * rows @ centroids.T
+                    + np.sum(centroids ** 2, axis=1)[None, :])
+            new_labels = native.capacitated_assignment(cost, size_max)
             moved = (new_labels != labels).any()
             labels = new_labels
             new_centroids = np.stack([
