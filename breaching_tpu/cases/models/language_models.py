@@ -227,14 +227,20 @@ def construct_text_model(cfg_model, cfg_data, key=None, pretrained: bool = False
         module = LSTMModel(vocab)
     elif name == "linear":
         module = LinearLM(vocab)
-    elif name == "gpt2S":
+    elif name == "gpt2-tiny":
         # test-scale gpt2-style block: pre-LN + tied decoder (the full "gpt2"
         # below is the paper-scale 768x12 variant)
         module = TransformerModel(vocab, 96, 8, 1536, 3, positional_embedding="learnable",
                                   norm_first=True, tie_weights=True)
-    elif name == "bertS":
+    elif name == "bert-tiny":
         # test-scale bert-style block: post-LN, untied, used with masked-lm
         module = TransformerModel(vocab, 96, 8, 1536, 3, positional_embedding="learnable")
+    elif name in ("gpt2S", "bert-sanity-check"):
+        # reference semantics (model_preparation.py:112-117): full-size HF
+        # architectures with ReLU activations and dropout disabled — NOT small
+        # models ("S" notwithstanding). The Decepticon GPT-2 notebook's
+        # headline numbers use these.
+        return _construct_hf_flax_model(name, cfg_data, key, pretrained=pretrained)
     elif name.startswith("hf-"):
         # exact HuggingFace Flax architecture (config-only, no weight download;
         # note: HF Flax classes are deprecated upstream and lack inputs_embeds,
@@ -333,7 +339,7 @@ def _construct_hf_flax_model(hf_name, cfg_data, key, pretrained: bool = False):
     from .model_preparation import JaxModel
 
     vocab = int(cfg_data.vocab_size)
-    small = hf_name.endswith("S")
+    small = hf_name.endswith("-tiny")
     if "gpt2" in hf_name:
         from transformers import FlaxGPT2LMHeadModel, GPT2Config
 
@@ -341,6 +347,10 @@ def _construct_hf_flax_model(hf_name, cfg_data, key, pretrained: bool = False):
             config = GPT2Config(vocab_size=vocab, n_positions=64, n_embd=96,
                                 n_layer=3, n_head=8, resid_pdrop=0.0,
                                 embd_pdrop=0.0, attn_pdrop=0.0)
+        elif hf_name == "gpt2S":
+            # reference gpt2S: full gpt2 with ReLU, no dropout
+            config = GPT2Config(vocab_size=vocab, activation_function="relu",
+                                resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0)
         else:
             config = GPT2Config(vocab_size=vocab)
         hf_model = FlaxGPT2LMHeadModel(config, seed=0)
@@ -357,6 +367,11 @@ def _construct_hf_flax_model(hf_name, cfg_data, key, pretrained: bool = False):
             config = BertConfig(vocab_size=vocab, hidden_size=96,
                                 num_hidden_layers=3, num_attention_heads=8,
                                 intermediate_size=384, max_position_embeddings=64,
+                                hidden_dropout_prob=0.0,
+                                attention_probs_dropout_prob=0.0)
+        elif hf_name == "bert-sanity-check":
+            # reference bert-sanity-check: full bert-base with ReLU, no dropout
+            config = BertConfig(vocab_size=vocab, hidden_act="relu",
                                 hidden_dropout_prob=0.0,
                                 attention_probs_dropout_prob=0.0)
         else:

@@ -57,28 +57,45 @@ EXAMPLES = {
         "case.data.target_label=2", "case.user.num_data_points=16",
         "case.data.num_data_points=16", "case.user.provide_labels=True",
         "case.server.feature_estimation_users=55"],
+    # notebook setting: 8 sentences x 32 tokens
     "decepticons_transformer": ["case=10_causal_lang_training", "attack=decepticon",
-                                "case/server=malicious-transformer"],
+                                "case/server=malicious-transformer",
+                                "case.user.num_data_points=8", "case.user.user_idx=1",
+                                "case.data.batch_size=8",
+                                "case.data.default_clients=1000"],
+    # notebook setting: 1 sentence x 512 tokens
     "decepticons_bert": ["case=9_bert_training", "attack=decepticon",
-                         "case/server=malicious-transformer", "case.model=bert-base-uncased"],
+                         "case/server=malicious-transformer", "case.model=bert-base-uncased",
+                         "case.user.num_data_points=1", "case.user.user_idx=1",
+                         "case.data.shape=[512]"],
+    # notebook setting ("small GPT2 on wikitext"): 8 sentences x 512 tokens
     "decepticons_gpt2": ["case=10_causal_lang_training", "attack=decepticon",
-                         "case/server=malicious-transformer", "case.model=gpt2S"],
+                         "case/server=malicious-transformer", "case.model=gpt2S",
+                         "case.user.num_data_points=8", "case.user.user_idx=1",
+                         "case.data.shape=[512]", "case.data.batch_size=8",
+                         "case.data.default_clients=1000"],
     # real HuggingFace Flax architectures (reference notebook hyperparameters;
     # full-size models — the positional-correlation margin scales with hidden
     # dim, so the -S test configs are NOT representative of attack quality)
     "decepticons_hf_gpt2": [
+        # reference notebook setting: 8 sentences x 512 tokens, v_length 32,
+        # embedding-norm with weight 0.0 ("no decoder bias in GPT")
         "case=10_causal_lang_training", "attack=decepticon",
         "case/server=malicious-transformer", "case.model=hf-gpt2",
+        "case.user.num_data_points=8", "case.data.shape=[512]",
+        "case.user.user_idx=1", "case.data.batch_size=8",
+        "case.data.default_clients=1000",
         "case.server.param_modification.v_length=32",
         "case.server.param_modification.eps=1e-8",
         "case.server.param_modification.measurement_scale=1e6",
         "case.server.param_modification.softmax_skew=1e8",
-        # the notebook's embedding_token_weight=0.25 note measurably helps the
-        # short-sequence synthetic corpus (repeat-count estimation is the cap)
-        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.25"],
+        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.0"],
     "decepticons_hf_bert": [
+        # reference notebook setting: 1 sentence x 512 tokens, v_length 32
         "case=9_bert_training", "attack=decepticon",
         "case/server=malicious-transformer", "case.model=hf-bert",
+        "case.user.num_data_points=1", "case.data.shape=[512]",
+        "case.user.user_idx=1",
         "case.server.param_modification.reset_embedding=True",
         "case.server.param_modification.v_length=32",
         "case.server.param_modification.eps=1e-8",

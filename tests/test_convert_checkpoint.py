@@ -217,14 +217,14 @@ def test_hf_gpt2_converter_roundtrip(tmp_path):
     tm.save_pretrained(src)
 
     flat = convert_hf(str(src), "hf-gpt2")
-    save_npz(flat, str(tmp_path), "hf-gpt2S")
+    save_npz(flat, str(tmp_path), "hf-gpt2-tiny")
 
     cfg_data = ConfigNode(
         name="wikitext", modality="text", task="causal-lm", vocab_size=128,
         shape=[16], path=str(tmp_path), size=1000, classes=None,
         examples_from_split="training", partition="none", default_clients=1,
         batch_size=1, caching=False)
-    model, loss_fn = construct_text_model("hf-gpt2S", cfg_data, pretrained=True)
+    model, loss_fn = construct_text_model("hf-gpt2-tiny", cfg_data, pretrained=True)
 
     ids = np.random.RandomState(4).randint(0, 128, size=(2, 16))
     logits, _ = model.apply(model.params, model.buffers, jnp.asarray(ids), train=False)
@@ -251,14 +251,14 @@ def test_hf_bert_converter_roundtrip(tmp_path):
     tm.save_pretrained(src)
 
     flat = convert_hf(str(src), "hf-bert")
-    save_npz(flat, str(tmp_path), "hf-bertS")
+    save_npz(flat, str(tmp_path), "hf-bert-tiny")
 
     cfg_data = ConfigNode(
         name="wikitext", modality="text", task="masked-lm", vocab_size=128,
         shape=[16], path=str(tmp_path), size=1000, classes=None,
         examples_from_split="training", partition="none", default_clients=1,
         batch_size=1, caching=False)
-    model, loss_fn = construct_text_model("hf-bertS", cfg_data, pretrained=True)
+    model, loss_fn = construct_text_model("hf-bert-tiny", cfg_data, pretrained=True)
 
     ids = np.random.RandomState(5).randint(0, 128, size=(2, 16))
     logits, _ = model.apply(model.params, model.buffers, jnp.asarray(ids), train=False)

@@ -41,13 +41,13 @@ def test_decepticon_four_sentences(algorithm):
 
 
 def test_decepticon_gpt2_style_preln_tied():
-    metrics, _ = _run_decepticon("gpt2S", "causal-lm", 2)
+    metrics, _ = _run_decepticon("gpt2-tiny", "causal-lm", 2)
     assert metrics["token_acc"] > 0.6, metrics
     assert metrics["accuracy"] > 0.5, metrics
 
 
 def test_decepticon_bert_style_masked_lm():
-    metrics, _ = _run_decepticon("bertS", "masked-lm", 2)
+    metrics, _ = _run_decepticon("bert-tiny", "masked-lm", 2)
     assert metrics["token_acc"] > 0.5, metrics
     assert metrics["accuracy"] > 0.5, metrics
 
@@ -95,7 +95,7 @@ def test_decepticon_hf_gpt2_architecture():
     out-in kernels, pre-LN, causal mask, tied bias-free head) with the
     reference notebook's hyperparameters (measurement_scale circumvents GELU)."""
     metrics, _ = _run_decepticon(
-        "hf-gpt2S", "causal-lm", 1,
+        "hf-gpt2-tiny", "causal-lm", 1,
         extra=["case.server.param_modification.v_length=32",
                "case.server.param_modification.measurement_scale=1e6",
                *HF_COMMON])
@@ -108,7 +108,7 @@ def test_decepticon_hf_bert_architecture():
     embedding LayerNorm as norm_layer0, masked-lm equalize path,
     reset_embedding like the reference notebook)."""
     metrics, _ = _run_decepticon(
-        "hf-bertS", "masked-lm", 1,
+        "hf-bert-tiny", "masked-lm", 1,
         extra=["case.server.param_modification.reset_embedding=True",
                "case.server.param_modification.v_length=16",
                "case.server.param_modification.measurement_scale=1e8",
