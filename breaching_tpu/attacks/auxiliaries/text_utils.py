@@ -193,20 +193,24 @@ def recover_token_information(attacker, user_data, server_payload, model):
             valid = np.argsort(-norm)[:num_missing]
         tokens = valid.tolist()
         if strategy == "embedding-norm":
-            # Repeat counts from excess squared row norms. A row's gradient is a
-            # sum of per-occurrence contributions whose alignment varies by
-            # architecture (measured: 7 occurrences gave 22x the singleton
-            # ENERGY on gpt2, 4.9x on a post-LN transformer — between the
-            # orthogonal count*E and the aligned count^2*E regimes), so no fixed
-            # scaling law converts one row to a count. What IS robust: every
-            # distinct input token sits far above the noise floor (1600x gap on
-            # gpt2), and energy above the singleton level is repeat evidence.
-            # So: one slot per valid token, then allocate the remaining
-            # num_missing - len(valid) slots by largest remainder proportional
-            # to excess energy (sq - median sq). The reference's greedy
+            # Repeat counts from a CALIBRATED power law on squared row norms.
+            # A row's gradient is a sum of per-occurrence contributions whose
+            # alignment varies by architecture (measured: 7 occurrences gave
+            # 22x the singleton ENERGY on gpt2, 4.9x on a post-LN transformer
+            # — between the orthogonal count*E and the aligned count^2*E
+            # regimes), so no fixed scaling law converts one row to a count.
+            # Two measured facts make per-row counts recoverable anyway
+            # (8x512 gpt2 exchange, tools/decepticon_lab.py):
+            #   - singleton energies are tight: 5th-95th percentile within
+            #     +-1% of the median, so E0 = median(sq) is a precise unit;
+            #   - E(count) ~ count^p with a stable per-architecture p.
+            # Estimate counts as (E/E0)^(1/p), bisecting p so the continuous
+            # counts sum to num_missing (which the attacker knows exactly).
+            # Measured multiset recall on that exchange: 0.975 vs 0.783 for
+            # the previous linear excess-energy allocation, with 95% of
+            # per-token counts exactly right. The reference's greedy
             # linear-norm subtraction (base_attack.py:559-572) under-counts
-            # repeats (27/32 vs 31/32 multiset overlap on the repetitive
-            # synthetic wikitext sentence).
+            # repeats further (27/32 vs 31/32 on the 32-token sentence).
             sq = norm[valid] ** 2
             if len(sq):
                 # the log-std cutoff can admit a few noise rows just above the
@@ -218,18 +222,38 @@ def recover_token_information(attacker, user_data, server_payload, model):
             tokens = [int(t) for t in valid]
             remaining = num_missing - len(tokens)
             if remaining > 0 and len(sq):
-                excess = np.maximum(sq - np.median(sq), 0.0)
-                total = excess.sum()
-                if total <= 0:  # no repeat evidence: give slots to largest rows
-                    shares = np.zeros(len(sq))
-                    shares[np.argsort(-sq)[:remaining]] = 1.0
+                ratios = np.maximum(sq / max(np.median(sq), 1e-300), 1.0)
+
+                def estimated_total(p):
+                    return np.maximum(ratios ** (1.0 / p), 1.0).sum()
+
+                lo, hi = 0.25, 8.0  # covers sub-linear (post-LN) to quadratic+
+                if estimated_total(lo) >= num_missing >= estimated_total(hi):
+                    for _ in range(60):
+                        mid = 0.5 * (lo + hi)
+                        if estimated_total(mid) > num_missing:
+                            lo = mid
+                        else:
+                            hi = mid
+                    c_hat = np.maximum(ratios ** (1.0 / hi), 1.0)
                 else:
-                    shares = excess / total * remaining
-                extra = np.floor(shares).astype(int)
-                frac_order = np.argsort(-(shares - extra))
-                for i in frac_order[: remaining - int(extra.sum())]:
-                    extra[i] += 1
-                tokens += [int(t) for t, c in zip(valid, extra) for _ in range(c)]
+                    # no calibratable repeat evidence (all energies ~E0, or
+                    # nearly every row is a repeat): spread the excess energy
+                    # proportionally as before
+                    excess = np.maximum(sq - np.median(sq), 0.0)
+                    total = excess.sum()
+                    if total <= 0:
+                        c_hat = np.ones(len(sq))
+                        c_hat[np.argsort(-sq)[:remaining]] += 1.0
+                    else:
+                        c_hat = 1.0 + excess / total * remaining
+                counts = np.floor(c_hat).astype(np.int64)
+                deficit = num_missing - int(counts.sum())
+                if deficit > 0:
+                    frac_order = np.argsort(-(c_hat - counts))
+                    counts[frac_order[:deficit]] += 1
+                tokens += [int(t) for t, c in zip(valid, counts - 1)
+                           for _ in range(max(int(c), 0))]
             if len(tokens) < num_missing:
                 # The no-repeat-evidence fallback grants at most 2 slots per
                 # row (1 share + 1 fractional), which under-fills when

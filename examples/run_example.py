@@ -79,7 +79,9 @@ EXAMPLES = {
     # dim, so the -S test configs are NOT representative of attack quality)
     "decepticons_hf_gpt2": [
         # reference notebook setting: 8 sentences x 512 tokens, v_length 32,
-        # embedding-norm with weight 0.0 ("no decoder bias in GPT")
+        # embedding-norm ("no decoder bias in GPT"). The notebook uses
+        # embedding_token_weight 0; 0.25 measures +0.9pt positional acc here
+        # (0.8933 vs 0.8840, lab exchange), so the better default stays.
         "case=10_causal_lang_training", "attack=decepticon",
         "case/server=malicious-transformer", "case.model=hf-gpt2",
         "case.user.num_data_points=8", "case.data.shape=[512]",
@@ -89,7 +91,7 @@ EXAMPLES = {
         "case.server.param_modification.eps=1e-8",
         "case.server.param_modification.measurement_scale=1e6",
         "case.server.param_modification.softmax_skew=1e8",
-        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.0"],
+        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.25"],
     "decepticons_hf_bert": [
         # reference notebook setting: 1 sentence x 512 tokens, v_length 32
         "case=9_bert_training", "attack=decepticon",
