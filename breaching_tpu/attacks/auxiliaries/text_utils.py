@@ -115,6 +115,50 @@ def match_embeddings_to_tokens(model, embeddings):
     return _max_cosine_similarity(flat, jnp.asarray(table)).reshape(embeddings.shape[:-1])
 
 
+def estimate_repeat_counts(energies, num_missing):
+    """Per-token repeat counts from squared embedding-gradient row norms.
+
+    Estimates counts as (E / E0)^(1/p) with E0 = median energy (the singleton
+    level) and the architecture-dependent exponent p bisected so the continuous
+    counts sum to num_missing, which the attacker knows exactly. Returns int64
+    counts >= 1 with sum <= num_missing (callers pad any residual).
+
+    Falls back to proportional excess-energy allocation when no exponent in
+    [0.25, 8] can match the total (all energies at the singleton level, or
+    nearly every row a repeat)."""
+    sq = np.asarray(energies, np.float64)
+    remaining = num_missing - len(sq)
+    ratios = np.maximum(sq / max(np.median(sq), 1e-300), 1.0)
+
+    def estimated_total(p):
+        return np.maximum(ratios ** (1.0 / p), 1.0).sum()
+
+    lo, hi = 0.25, 8.0  # covers sub-linear (post-LN) to quadratic+
+    with np.errstate(over="ignore"):
+        if estimated_total(lo) >= num_missing >= estimated_total(hi):
+            for _ in range(60):
+                mid = 0.5 * (lo + hi)
+                if estimated_total(mid) > num_missing:
+                    lo = mid
+                else:
+                    hi = mid
+            c_hat = np.maximum(ratios ** (1.0 / hi), 1.0)
+        else:
+            excess = np.maximum(sq - np.median(sq), 0.0)
+            total = excess.sum()
+            if total <= 0:
+                c_hat = np.ones(len(sq))
+                c_hat[np.argsort(-sq)[:remaining]] += 1.0
+            else:
+                c_hat = 1.0 + excess / total * remaining
+    counts = np.floor(c_hat).astype(np.int64)
+    deficit = num_missing - int(counts.sum())
+    if deficit > 0:
+        frac_order = np.argsort(-(c_hat - counts))
+        counts[frac_order[:deficit]] += 1
+    return counts
+
+
 def recover_token_information(attacker, user_data, server_payload, model):
     """Token (bag-of-words) recovery from embedding/decoder gradients
     (reference: recover_token_information:477-662). Host-side numpy: the arrays
@@ -220,38 +264,8 @@ def recover_token_information(attacker, user_data, server_payload, model):
                 keep = sq >= 0.25 * np.median(sq)
                 valid, sq = valid[keep], sq[keep]
             tokens = [int(t) for t in valid]
-            remaining = num_missing - len(tokens)
-            if remaining > 0 and len(sq):
-                ratios = np.maximum(sq / max(np.median(sq), 1e-300), 1.0)
-
-                def estimated_total(p):
-                    return np.maximum(ratios ** (1.0 / p), 1.0).sum()
-
-                lo, hi = 0.25, 8.0  # covers sub-linear (post-LN) to quadratic+
-                if estimated_total(lo) >= num_missing >= estimated_total(hi):
-                    for _ in range(60):
-                        mid = 0.5 * (lo + hi)
-                        if estimated_total(mid) > num_missing:
-                            lo = mid
-                        else:
-                            hi = mid
-                    c_hat = np.maximum(ratios ** (1.0 / hi), 1.0)
-                else:
-                    # no calibratable repeat evidence (all energies ~E0, or
-                    # nearly every row is a repeat): spread the excess energy
-                    # proportionally as before
-                    excess = np.maximum(sq - np.median(sq), 0.0)
-                    total = excess.sum()
-                    if total <= 0:
-                        c_hat = np.ones(len(sq))
-                        c_hat[np.argsort(-sq)[:remaining]] += 1.0
-                    else:
-                        c_hat = 1.0 + excess / total * remaining
-                counts = np.floor(c_hat).astype(np.int64)
-                deficit = num_missing - int(counts.sum())
-                if deficit > 0:
-                    frac_order = np.argsort(-(c_hat - counts))
-                    counts[frac_order[:deficit]] += 1
+            if num_missing > len(tokens) and len(sq):
+                counts = estimate_repeat_counts(sq, num_missing)
                 tokens += [int(t) for t, c in zip(valid, counts - 1)
                            for _ in range(max(int(c), 0))]
             if len(tokens) < num_missing:

@@ -68,12 +68,19 @@ EXAMPLES = {
                          "case/server=malicious-transformer", "case.model=bert-base-uncased",
                          "case.user.num_data_points=1", "case.user.user_idx=1",
                          "case.data.shape=[512]"],
-    # notebook setting ("small GPT2 on wikitext"): 8 sentences x 512 tokens
+    # THE notebook setting ("small GPT2 on wikitext"): gpt2S = full GPT-2 with
+    # ReLU, 8 sentences x 512 tokens, same server/attack params as hf-gpt2
     "decepticons_gpt2": ["case=10_causal_lang_training", "attack=decepticon",
                          "case/server=malicious-transformer", "case.model=gpt2S",
                          "case.user.num_data_points=8", "case.user.user_idx=1",
                          "case.data.shape=[512]", "case.data.batch_size=8",
-                         "case.data.default_clients=1000"],
+                         "case.data.default_clients=1000",
+                         "case.server.param_modification.v_length=32",
+                         "case.server.param_modification.eps=1e-8",
+                         "case.server.param_modification.measurement_scale=1e6",
+                         "case.server.param_modification.softmax_skew=1e8",
+                         "attack.token_strategy=embedding-norm",
+                         "attack.embedding_token_weight=0.25"],
     # real HuggingFace Flax architectures (reference notebook hyperparameters;
     # full-size models — the positional-correlation margin scales with hidden
     # dim, so the -S test configs are NOT representative of attack quality)
@@ -103,8 +110,11 @@ EXAMPLES = {
         "case.server.param_modification.eps=1e-8",
         "case.server.param_modification.measurement_scale=1e8",
         "case.server.param_modification.softmax_skew=1e8",
-        # mixed = decoder-bias (BERT's MLM head leaks counts) + greedy embedding
-        "attack.token_strategy=mixed", "attack.embedding_token_weight=0.25"],
+        # embedding-norm with calibrated power-law counts beats mixed here
+        # (positional acc 0.8965 vs 0.8828 on the cached 1x512 lab exchange);
+        # BERT's untied embeddings take the sparsity branch, and the MLM-head
+        # bias that mixed relies on only sees the 15% supervised positions
+        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.25"],
     # text imprints (reference wikitext notebooks: 128 sentences x 32 tokens)
     "robbing_the_fed_text": [
         "case=10_causal_lang_training", "attack=imprint",
