@@ -316,7 +316,9 @@ class DecepticonAttacker(AnalyticAttacker):
         normalized = (keys - keys.mean(axis=-1, keepdims=True)) / std
 
         if algorithm == "k-means":
-            return _constrained_kmeans(normalized, num_sentences, seq_len, rng)
+            n_init = int(self.cfg.get("sentence_kmeans_inits", 10) or 10)
+            return _constrained_kmeans(normalized, num_sentences, seq_len, rng,
+                                       n_init=n_init)
         if algorithm == "k-medoids":
             corrs = _safe_corrcoef(keys)
             for trial in range(50):
