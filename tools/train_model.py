@@ -1,0 +1,173 @@
+"""Train a model in-repo and save it as a loadable checkpoint npz.
+
+The reference gets "trained" models by downloading torchvision / timm / HF
+checkpoints at construction time (reference model_preparation.py:170, 194-214).
+This environment has no network egress, so `model_state: trained` would
+otherwise silently keep random-init parameters — and untrained models are known
+to leak far more, which makes optimization-attack parity rows incomparable.
+This trainer closes that gap in-repo: it trains any case config's model on the
+case's own (on-disk or synthetic) training split and writes
+`<case.data.path>/checkpoints/<model-name>.npz` in the exact flat layout that
+`tools/convert_checkpoint.py` produces and `_maybe_load_pretrained`
+(model_preparation.py:251) consumes, so a subsequent
+`case.server.pretrained=True` run attacks a genuinely trained model.
+
+Usage:
+    JAX_PLATFORMS=cpu python tools/train_model.py case=1_single_image_small \
+        train.epochs=10 train.lr=0.05
+    python simulate_breach.py case=1_single_image_small \
+        attack=invertinggradients case.server.pretrained=True
+
+train.* keys (consumed here, not part of the case config):
+    epochs (10), lr (0.1), batch_size (128), weight_decay (5e-4),
+    momentum (0.9), optimizer (sgd | adamw), limit (cap on training examples,
+    0 = all), eval_batches (batches of the val split scored per epoch),
+    out (explicit output path overriding the checkpoints/ convention).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import breaching_tpu as breaching
+from breaching_tpu.cases.data.data_preparation import construct_dataloader
+from breaching_tpu.cases.models.model_preparation import construct_model
+
+TRAIN_DEFAULTS = dict(epochs=10, lr=0.1, batch_size=128, weight_decay=5e-4,
+                      momentum=0.9, optimizer="sgd", limit=0, eval_batches=8,
+                      out="")
+
+
+def dump_flat_state(model) -> dict:
+    """Inverse of model_preparation.load_flat_state: pytrees -> flat npz dict."""
+    flat = {}
+
+    def put(tree, prefix):
+        def rec(kp, leaf):
+            key = prefix + "/".join(str(getattr(k, "key", k)) for k in kp)
+            flat[key] = np.asarray(leaf)
+
+        jax.tree_util.tree_map_with_path(rec, tree)
+
+    put(model.params, "params/")
+    put(model.buffers, "buffers/")
+    return flat
+
+
+def _batch_arrays(batch, modality):
+    inputs = batch["input_ids" if modality == "text" else "inputs"]
+    return jnp.asarray(inputs), jnp.asarray(batch["labels"])
+
+
+def train(cfg, tr) -> str:
+    cfg_data = cfg.case.data
+    cfg_data.examples_from_split = "training"
+    cfg_data.batch_size = int(tr["batch_size"])
+    # partition=none => the full split, like the reference's central training
+    cfg_data.partition = "none"
+
+    loader = construct_dataloader(cfg_data, cfg.case.impl, user_idx=0,
+                                  return_full_dataset=True)
+    if tr["limit"]:
+        loader.dataset = loader.dataset.subset(
+            np.arange(min(int(tr["limit"]), len(loader.dataset))))
+    loader.shuffle = True
+
+    model, loss_fn = construct_model(cfg.case.model, cfg_data)
+    modality = model.modality
+
+    steps_per_epoch = max(len(loader), 1)
+    schedule = optax.cosine_decay_schedule(
+        float(tr["lr"]), int(tr["epochs"]) * steps_per_epoch)
+    if str(tr["optimizer"]) == "adamw":
+        tx = optax.adamw(schedule, weight_decay=float(tr["weight_decay"]))
+    else:
+        tx = optax.chain(
+            optax.add_decayed_weights(float(tr["weight_decay"])),
+            optax.sgd(schedule, momentum=float(tr["momentum"]), nesterov=True))
+    opt_state = tx.init(model.params)
+
+    @jax.jit
+    def step(params, buffers, opt_state, inputs, labels):
+        def objective(p):
+            logits, aux = model.apply(p, buffers, inputs, train=True)
+            return loss_fn(logits, labels), aux
+
+        (loss, aux), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        updates, opt_state_ = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, aux.get("batch_stats", buffers), opt_state_, loss
+
+    @jax.jit
+    def score(params, buffers, inputs, labels):
+        logits, _ = model.apply(params, buffers, inputs, train=False)
+        if logits.ndim == 3:  # causal LM: next-token accuracy
+            hits = jnp.argmax(logits[:, :-1], -1) == labels[:, 1:]
+        else:
+            hits = jnp.argmax(logits, -1) == labels
+        return hits.mean()
+
+    params, buffers = model.params, model.buffers
+    val_loader = None
+    if tr["eval_batches"]:
+        import copy
+
+        cfg_val = copy.deepcopy(cfg_data)
+        cfg_val.examples_from_split = "validation"
+        val_loader = construct_dataloader(cfg_val, cfg.case.impl, user_idx=0,
+                                          return_full_dataset=True)
+
+    print(f"Training {model.name} on {loader.name} "
+          f"({len(loader.dataset)} examples, {steps_per_epoch} steps/epoch).")
+    for epoch in range(int(tr["epochs"])):
+        loader.seed = epoch  # reshuffle deterministically per epoch
+        t0, losses = time.time(), []
+        for batch in loader:
+            inputs, labels = _batch_arrays(batch, modality)
+            params, buffers, opt_state, loss = step(
+                params, buffers, opt_state, inputs, labels)
+            losses.append(float(loss))
+        msg = (f"epoch {epoch + 1}/{tr['epochs']}: loss {np.mean(losses):.4f} "
+               f"({time.time() - t0:.1f}s)")
+        if val_loader is not None:
+            accs = [float(score(params, buffers, *_batch_arrays(b, modality)))
+                    for b, _ in zip(val_loader, range(int(tr["eval_batches"])))]
+            msg += f", val acc {np.mean(accs):.4f}"
+        print(msg)
+
+    model.params, model.buffers = params, buffers
+    out = str(tr["out"]) or os.path.expanduser(
+        os.path.join(str(cfg_data.path), "checkpoints", f"{model.name}.npz"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    np.savez(out, **dump_flat_state(model))
+    print(f"Saved trained checkpoint to {out} "
+          f"(load with case.server.pretrained=True).")
+    return out
+
+
+def main():
+    tr = dict(TRAIN_DEFAULTS)
+    case_overrides = []
+    for ov in sys.argv[1:]:
+        key, _, val = ov.partition("=")
+        if key.startswith("train."):
+            name = key[len("train."):]
+            if name not in tr:
+                raise SystemExit(f"Unknown train key '{name}'; "
+                                 f"known: {sorted(tr)}")
+            tr[name] = type(TRAIN_DEFAULTS[name])(val) if name != "out" else val
+        else:
+            case_overrides.append(ov)
+    cfg = breaching.get_config(case_overrides)
+    train(cfg, tr)
+
+
+if __name__ == "__main__":
+    main()
