@@ -44,6 +44,35 @@ EXAMPLES = {
                                 "case/server=malicious-model-cah"],
     "fishing": ["case=5_small_batch_imagenet", "attack=clsattack",
                 "case/server=malicious-fishing", "case.user.provide_labels=True"],
+    # reference notebook "Meta Optimization-based Attack - Feature Fishing
+    # Cross-Silo-Unique Data": worst case, each user owns one class (PSNR 12.27)
+    "fishing_optimization_unique": [
+        "case=2_single_imagenet", "attack=clsattack",
+        "case/server=malicious-fishing", "case.data.partition=unique-class",
+        "case.user.num_data_points=50",
+        "case.user.user_idx=1", "case.user.provide_labels=True",
+        "case.server.target_cls_idx=0"],
+    # reference notebook "Meta Optimization-based Attack - Feature Fishing
+    # Cross-Silo": average case, aggregate over a random partition (PSNR 12.34)
+    "fishing_optimization_cross_silo": [
+        "case=2_single_imagenet", "attack=clsattack",
+        "case/server=malicious-fishing", "case/user=multiuser_aggregate",
+        "case.user.user_range=[0,1]", "case.data.partition=random",
+        "case.user.num_data_points=256",
+        "case.data.default_clients=32", "case.user.provide_labels=True",
+        "case.server.target_cls_idx=0"],
+    # reference notebook "Meta Analytic Attack - Feature Fishing Cross-Silo":
+    # the fishing server isolates the target-class image in the 50-image
+    # unique-class batch, then APRIL recovers it analytically (ref PSNR 12.52)
+    "fishing_analytic_cross_silo": [
+        "case=2_single_imagenet", "attack=april_analytic",
+        "case/server=malicious-fishing", "case.model=vit_small_april",
+        "case.data.partition=unique-class",
+        "case.user.num_data_points=50",
+        "case.user.user_idx=1", "case.user.provide_labels=True",
+        "case.server.target_cls_idx=0",
+        "case.server.bias_multiplier=0",
+        "case.server.reset_param_weights=False"],
     # cross-device feature fishing (reference notebook "Fishing for User Data -
     # Meta Analytic Attack - Feature Fishing Cross Device": the server
     # estimates the target class's feature distribution on 55 other users,
