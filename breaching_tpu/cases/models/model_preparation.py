@@ -256,6 +256,14 @@ def _maybe_load_pretrained(model: JaxModel, cfg_data) -> None:
 
     path = os.path.expanduser(os.path.join(str(cfg_data.path), "checkpoints", f"{model.name}.npz"))
     if not os.path.exists(path):
+        import logging
+
+        # The reference downloads checkpoints here (model_preparation.py:170,
+        # 194-214); offline, a missing npz silently meant random init — loud
+        # warning so "trained" parity runs can't be mistaken for trained ones.
+        logging.getLogger(__name__).warning(
+            f"pretrained=True but no checkpoint at {path}; keeping random init. "
+            f"Produce one with tools/train_model.py or tools/convert_checkpoint.py.")
         return
     replaced = load_flat_state(model, dict(np.load(path)))
     import logging

@@ -47,6 +47,10 @@ SWEEP = [
     "multiscale",
     "see_through_gradients",
     "fishing",
+    "fishing_analytic_cross_silo",
+    "fishing_feature_cross_device",
+    "fishing_optimization_unique",
+    "fishing_optimization_cross_silo",
     "inverting_large_batch_cifar",
 ]
 
@@ -58,6 +62,10 @@ TIMEOUT_S = {  # generous per-setting budgets (compile + run)
     "inverting_gradients_fedavg": 7200,
     "multiscale": 7200,
     "fishing": 5400,
+    "fishing_optimization_unique": 7200,
+    "fishing_optimization_cross_silo": 10800,
+    "fishing_analytic_cross_silo": 5400,
+    "fishing_feature_cross_device": 10800,
 }
 DEFAULT_TIMEOUT_S = 3600
 

@@ -69,6 +69,15 @@ def test_checkpoint_loads_via_pretrained_path(trained):
         os.remove(staged)
 
 
+def test_pretrained_without_checkpoint_warns(trained, caplog):
+    import logging
+
+    cfg, _ = trained
+    with caplog.at_level(logging.WARNING):
+        construct_model("ConvNetSmall16", cfg.case.data, pretrained=True)
+    assert any("keeping random init" in r.message for r in caplog.records)
+
+
 def test_trained_model_fits_train_split(trained):
     # the 2-epoch run on 256 examples must beat chance on its own train data
     cfg, path = trained

@@ -124,8 +124,13 @@ def train(cfg, tr) -> str:
         val_loader = construct_dataloader(cfg_val, cfg.case.impl, user_idx=0,
                                           return_full_dataset=True)
 
+    out = str(tr["out"]) or os.path.expanduser(
+        os.path.join(str(cfg_data.path), "checkpoints", f"{model.name}.npz"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+
     print(f"Training {model.name} on {loader.name} "
-          f"({len(loader.dataset)} examples, {steps_per_epoch} steps/epoch).")
+          f"({len(loader.dataset)} examples, {steps_per_epoch} steps/epoch).",
+          flush=True)
     for epoch in range(int(tr["epochs"])):
         loader.seed = epoch  # reshuffle deterministically per epoch
         t0, losses = time.time(), []
@@ -140,13 +145,11 @@ def train(cfg, tr) -> str:
             accs = [float(score(params, buffers, *_batch_arrays(b, modality)))
                     for b, _ in zip(val_loader, range(int(tr["eval_batches"])))]
             msg += f", val acc {np.mean(accs):.4f}"
-        print(msg)
+        print(msg, flush=True)
+        # checkpoint every epoch so an interrupted run still yields a model
+        model.params, model.buffers = params, buffers
+        np.savez(out, **dump_flat_state(model))
 
-    model.params, model.buffers = params, buffers
-    out = str(tr["out"]) or os.path.expanduser(
-        os.path.join(str(cfg_data.path), "checkpoints", f"{model.name}.npz"))
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    np.savez(out, **dump_flat_state(model))
     print(f"Saved trained checkpoint to {out} "
           f"(load with case.server.pretrained=True).")
     return out
