@@ -61,14 +61,104 @@ class VAE(nn.Module):
         return self.decoder(z), mu, logvar
 
 
+def _nearest_indices(z, emb):
+    """Nearest codebook entry per row: z (N, d), emb (d, K) -> (N,) indices.
+
+    One MXU matmul instead of the reference's broadcasted (N, d, K) distance
+    tensor (reference aux_training/nearest_embed.py:36-48):
+    argmin_k ||z - e_k||^2 == argmin_k (||e_k||^2 - 2 z.e_k).
+    """
+    scores = jnp.sum(emb * emb, axis=0)[None, :] - 2.0 * (z @ emb)
+    return jnp.argmin(scores, axis=-1)
+
+
+@jax.custom_vjp
+def nearest_embed(z, emb):
+    """Vector quantization with straight-through gradients (reference
+    aux_training/nearest_embed.py NearestEmbedFunc): forward snaps each row of
+    z (N, d) to its nearest column of emb (d, K); backward passes the output
+    gradient straight through to z, and scatters the per-row gradients onto the
+    selected codebook columns averaged by assignment count (reference :55-72).
+    """
+    return emb.T[_nearest_indices(z, emb)]
+
+
+def _nearest_embed_fwd(z, emb):
+    idx = _nearest_indices(z, emb)
+    return emb.T[idx], (idx, emb.shape[1])
+
+
+def _nearest_embed_bwd(res, g):
+    idx, num_emb = res
+    onehot = jax.nn.one_hot(idx, num_emb, dtype=g.dtype)          # (N, K)
+    counts = jnp.maximum(onehot.sum(axis=0), 1.0)
+    grad_emb = (g.T @ onehot) / counts[None, :]                   # (d, K)
+    return g, grad_emb
+
+
+nearest_embed.defvjp(_nearest_embed_fwd, _nearest_embed_bwd)
+
+
+def nearest_embed_ema(z, state, decay: float = 0.99, eps: float = 1e-5,
+                      train: bool = True):
+    """EMA-codebook vector quantization (reference nearest_embed.py
+    NearestEmbedEMA:96-144, the sonnet/VQ-VAE-2 variant): the codebook is a
+    buffer updated by exponential moving averages of assignment counts and
+    assigned-vector sums instead of gradients. Functional: pass and re-thread
+    `state = dict(weight (d,K), cluster_size (K,), embed_avg (d,K))`; returns
+    (quantized (N,d), new_state). Jittable (static train flag)."""
+    weight = state["weight"]
+    idx = _nearest_indices(z, weight)
+    quantized = weight.T[idx]
+    if not train:
+        return quantized, state
+    onehot = jax.nn.one_hot(idx, weight.shape[1], dtype=z.dtype)      # (N, K)
+    counts = onehot.sum(axis=0)
+    embed_sum = z.T @ onehot                                          # (d, K)
+    cluster_size = state["cluster_size"] * decay + (1 - decay) * counts
+    embed_avg = state["embed_avg"] * decay + (1 - decay) * embed_sum
+    n = cluster_size.sum()
+    denom = (cluster_size + eps) / (n + weight.shape[1] * eps) * n
+    new_weight = embed_avg / denom[None, :]
+    return quantized, dict(weight=new_weight, cluster_size=cluster_size,
+                           embed_avg=embed_avg)
+
+
+def init_ema_codebook(key, emb_dim: int, num_embeddings: int):
+    """Fresh NearestEmbedEMA state (reference nearest_embed.py:99-107)."""
+    weight = jax.random.uniform(key, (emb_dim, num_embeddings))
+    return dict(weight=weight, cluster_size=jnp.zeros(num_embeddings),
+                embed_avg=weight)
+
+
+# (vq_coef, commit_coef) per quantized arch — reference VAE.py VQ_VAE:69
+# (vq 0.2, mse 0.4) and VQ_CVAE:98 (vq 1, commit 0.5).
+_VQ_COEFS = {"VQ_VAE": (0.2, 0.4), "VQ_CVAE": (1.0, 0.5)}
+
+
 def train_encoder_decoder(data_shape, dataloader=None, steps: int = 500,
-                          batch_size: int = 32, lr: float = 1e-3, seed: int = 0):
-    """Train a small VAE; returns (decode_fn, params). With no dataloader, trains
-    on smooth synthetic images (this environment has no dataset downloads)."""
+                          batch_size: int = 32, lr: float = 1e-3, seed: int = 0,
+                          arch: str = "VAE", num_embeddings: int = 512):
+    """Train a small encoder/decoder; returns (decode_fn, params).
+
+    `arch` selects the reference's four trainer variants (reference
+    aux_training/VAE.py train_encoder_decoder:126-143): "AE" (plain MSE
+    autoencoder), "VAE" (Gaussian reparameterization + KL), and "VQ_VAE" /
+    "VQ_CVAE" (vector-quantized latents through `nearest_embed`, codebook
+    trained with the vq + commitment losses of reference VAE.py:85-94,112-123).
+    The whole loop is one jitted lax.scan over optax updates; with no
+    dataloader it trains on smooth synthetic images (no dataset downloads in
+    this environment)."""
+    if arch not in ("AE", "VAE", "VQ_VAE", "VQ_CVAE"):
+        raise ValueError(f"Invalid aux-training arch {arch}.")
     h, w, c = data_shape
     model = VAE(out_shape=(h, w, c))
     key = jax.random.PRNGKey(seed)
     params = model.init(key, jnp.zeros((1, h, w, c)), key)["params"]
+    if arch in _VQ_COEFS:
+        # reference VQ_CVAE:108-110: normal(0, 0.02) clipped by fmod(0.04)
+        emb0 = 0.02 * jax.random.normal(key, (model.latent_dim, num_embeddings))
+        params = dict(params, codebook=jnp.fmod(emb0, 0.04))
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
@@ -82,6 +172,9 @@ def train_encoder_decoder(data_shape, dataloader=None, steps: int = 500,
     else:
         data = jax.random.normal(key, (256, h, w, c)) * 0.5
 
+    def _net(p):
+        return {"params": {k: v for k, v in p.items() if k != "codebook"}}
+
     @jax.jit
     def step(carry, idx):
         params, opt_state, key = carry
@@ -90,26 +183,45 @@ def train_encoder_decoder(data_shape, dataloader=None, steps: int = 500,
         batch = data[sel]
 
         def loss_fn(p):
-            rec, mu, logvar = model.apply({"params": p}, batch, sub)
-            rec_loss = jnp.mean(jnp.square(rec - batch))
-            kl = -0.5 * jnp.mean(1 + logvar - jnp.square(mu) - jnp.exp(logvar))
-            return rec_loss + 1e-3 * kl
+            if arch == "VAE":
+                rec, mu, logvar = model.apply(_net(p), batch, sub)
+                kl = -0.5 * jnp.mean(1 + logvar - jnp.square(mu) - jnp.exp(logvar))
+                return jnp.mean(jnp.square(rec - batch)) + 1e-3 * kl
+            z_e, _ = model.apply(_net(p), batch, method=lambda m, x: m.encoder(x))
+            if arch == "AE":
+                rec = model.apply(_net(p), z_e, method=lambda m, z: m.decoder(z))
+                return jnp.mean(jnp.square(rec - batch))
+            # quantized archs: straight-through recon path trains the encoder
+            # (reference VQ_CVAE.forward:112-116 weight_sg=True), the vq term
+            # trains the codebook through nearest_embed's averaged scatter,
+            # and the commitment term pins z_e to its code (reference :118-123)
+            emb = p["codebook"]
+            z_q = nearest_embed(z_e, jax.lax.stop_gradient(emb))
+            emb_q = nearest_embed(jax.lax.stop_gradient(z_e), emb)
+            rec = model.apply(_net(p), z_q, method=lambda m, z: m.decoder(z))
+            vq_coef, commit_coef = _VQ_COEFS[arch]
+            vq = jnp.mean(jnp.square(emb_q - jax.lax.stop_gradient(z_e)))
+            commit = jnp.mean(jnp.square(jax.lax.stop_gradient(emb_q) - z_e))
+            return (jnp.mean(jnp.square(rec - batch))
+                    + vq_coef * vq + commit_coef * commit)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state, key), loss
 
     (params, _, _), losses = jax.lax.scan(step, (params, opt_state, key), jnp.arange(steps))
-    log.info(f"VAE training finished: loss {float(losses[-1]):.4f} after {steps} steps.")
+    log.info(f"{arch} training finished: loss {float(losses[-1]):.4f} after {steps} steps.")
 
     def decode(z_or_x):
-        """Decode latents (or re-encode+decode inputs) back to image space."""
+        """Decode latents (or re-encode+decode inputs) back to image space.
+        Quantized archs snap latents to the trained codebook first, matching
+        the decoder's training distribution."""
         arr = jnp.asarray(z_or_x)
-        if arr.ndim == 2 and arr.shape[-1] == model.latent_dim:
-            return model.apply({"params": params}, arr, method=lambda m, z: m.decoder(z))
-        mu, _ = model.apply({"params": params}, arr,
-                            method=lambda m, x: m.encoder(x))
-        return model.apply({"params": params}, mu, method=lambda m, z: m.decoder(z))
+        if not (arr.ndim == 2 and arr.shape[-1] == model.latent_dim):
+            arr, _ = model.apply(_net(params), arr, method=lambda m, x: m.encoder(x))
+        if arch in _VQ_COEFS:
+            arr = nearest_embed(arr, params["codebook"])
+        return model.apply(_net(params), arr, method=lambda m, z: m.decoder(z))
 
     return decode, params
 

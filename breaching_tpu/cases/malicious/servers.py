@@ -106,7 +106,8 @@ class MaliciousModelServer(HonestServer):
             from .aux_training import train_encoder_decoder
 
             decode, _ = train_encoder_decoder(
-                data_shape, dataloader=self.external_dataloader, steps=200)
+                data_shape, dataloader=self.external_dataloader, steps=200,
+                arch=str(cfg_mod.get("aux_arch") or "VAE"))
             self.secrets["ImprintBlock"]["decoder"] = decode
         self.model = new_model
         self.loss = self.loss  # unchanged
