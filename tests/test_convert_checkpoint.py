@@ -265,3 +265,147 @@ def test_hf_bert_converter_roundtrip(tmp_path):
     with torch.no_grad():
         ref = tm(torch.from_numpy(ids)).logits.numpy()
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-4, atol=2e-4)
+
+
+class _TorchVGG11BN(tnn.Module):
+    """torchvision vgg11_bn layout: features.{i} Sequential + classifier.{0,3,6}
+    Linears; flatten between them is NCHW (the permutation convert_vgg must
+    absorb for fc0 whenever the feature map is spatially > 1x1)."""
+
+    def __init__(self, classes=10):
+        super().__init__()
+        layers, cin = [], 3
+        for entry in (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"):
+            if entry == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers += [tnn.Conv2d(cin, entry, 3, padding=1),
+                           tnn.BatchNorm2d(entry), tnn.ReLU()]
+                cin = entry
+        self.features = tnn.Sequential(*layers)
+        self.classifier = tnn.Sequential(
+            tnn.Linear(512 * 2 * 2, 4096), tnn.ReLU(), tnn.Identity(),
+            tnn.Linear(4096, 4096), tnn.ReLU(), tnn.Identity(),
+            tnn.Linear(4096, classes))
+
+    def forward(self, x):
+        return self.classifier(torch.flatten(self.features(x), 1))
+
+
+def test_vgg_converter_forward_equivalence():
+    from breaching_tpu.cases.models.vgg import VGG
+    from convert_checkpoint import convert_vgg
+
+    gen = torch.Generator().manual_seed(0)
+    tm = _TorchVGG11BN()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        _randomize_bn_stats(tm, gen)
+    tm.eval()
+
+    flat = convert_vgg({k: v.numpy() for k, v in tm.state_dict().items()})
+    module = VGG(plan_name="VGG11", num_classes=10, use_norm=True, head="ImageNet")
+    # 64px input -> 2x2x512 feature map: exercises the NCHW->NHWC fc0 permutation
+    x = np.random.RandomState(1).randn(2, 64, 64, 3).astype(np.float32)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    model = SimpleNamespace(params=variables["params"],
+                            buffers=variables.get("batch_stats", {}))
+    replaced = load_flat_state(model, flat, strict=True)
+    assert replaced > 0
+
+    logits = module.apply({"params": model.params, "batch_stats": model.buffers},
+                          jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-3, atol=1e-4)
+
+
+class _Container(tnn.Module):
+    def forward(self, x):  # pragma: no cover - name container only
+        raise NotImplementedError
+
+
+class _TorchDenseLayer(tnn.Module):
+    def __init__(self, cin, growth, bn_size):
+        super().__init__()
+        self.norm1 = tnn.BatchNorm2d(cin)
+        self.conv1 = tnn.Conv2d(cin, bn_size * growth, 1, bias=False)
+        self.norm2 = tnn.BatchNorm2d(bn_size * growth)
+        self.conv2 = tnn.Conv2d(bn_size * growth, growth, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        y = self.conv1(torch.relu(self.norm1(x)))
+        y = self.conv2(torch.relu(self.norm2(y)))
+        return torch.cat([x, y], 1)
+
+
+class _TorchTinyDenseNet(tnn.Module):
+    """torchvision DenseNet state-dict layout (features.conv0/norm0,
+    denseblock{B}.denselayer{L}, transition{T}, norm5, classifier)."""
+
+    def __init__(self, growth=4, blocks=(2, 2), init=8, bn_size=2, classes=10):
+        super().__init__()
+        f = _Container()
+        f.conv0 = tnn.Conv2d(3, init, 7, 2, 3, bias=False)
+        f.norm0 = tnn.BatchNorm2d(init)
+        feats = init
+        for b, n in enumerate(blocks):
+            block = _Container()
+            for i in range(n):
+                setattr(block, f"denselayer{i + 1}",
+                        _TorchDenseLayer(feats + i * growth, growth, bn_size))
+            setattr(f, f"denseblock{b + 1}", block)
+            feats += n * growth
+            if b != len(blocks) - 1:
+                tr = _Container()
+                tr.norm = tnn.BatchNorm2d(feats)
+                tr.conv = tnn.Conv2d(feats, feats // 2, 1, bias=False)
+                setattr(f, f"transition{b + 1}", tr)
+                feats //= 2
+        f.norm5 = tnn.BatchNorm2d(feats)
+        self.features = f
+        self.classifier = tnn.Linear(feats, classes)
+        self.blocks = blocks
+
+    def forward(self, x):
+        f = self.features
+        x = tnn.functional.max_pool2d(torch.relu(f.norm0(f.conv0(x))), 3, 2, 1)
+        for b in range(len(self.blocks)):
+            block = getattr(f, f"denseblock{b + 1}")
+            for i in range(self.blocks[b]):
+                x = getattr(block, f"denselayer{i + 1}")(x)
+            if b != len(self.blocks) - 1:
+                tr = getattr(f, f"transition{b + 1}")
+                x = tnn.functional.avg_pool2d(tr.conv(torch.relu(tr.norm(x))), 2)
+        x = torch.relu(f.norm5(x)).mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+def test_densenet_converter_forward_equivalence():
+    from breaching_tpu.cases.models.densenets import DenseNet
+    from convert_checkpoint import convert_densenet
+
+    gen = torch.Generator().manual_seed(0)
+    tm = _TorchTinyDenseNet()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
+        _randomize_bn_stats(tm, gen)
+    tm.eval()
+
+    flat = convert_densenet({k: v.numpy() for k, v in tm.state_dict().items()})
+    module = DenseNet(growth_rate=4, block_config=(2, 2), num_init_features=8,
+                      bn_size=2, num_classes=10, stem="ImageNet")
+    x = np.random.RandomState(1).randn(2, 32, 32, 3).astype(np.float32)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    model = SimpleNamespace(params=variables["params"],
+                            buffers=variables.get("batch_stats", {}))
+    replaced = load_flat_state(model, flat, strict=True)
+    assert replaced > 0
+
+    logits = module.apply({"params": model.params, "batch_stats": model.buffers},
+                          jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-4, atol=1e-5)

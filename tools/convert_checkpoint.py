@@ -126,9 +126,15 @@ def convert_densenet(sd: dict) -> dict:
 def convert_vgg(sd: dict) -> dict:
     """torchvision VGG state_dict -> flat npz dict (cases/models/vgg.py naming:
     conv{i}/bn{i} in order of appearance, fc0/fc1/head). Works for plain and
-    _bn variants: convs and norms are enumerated in features order."""
+    _bn variants: convs and norms are enumerated in features order.
+
+    The first classifier layer reads the FLATTENED feature map, and torch
+    flattens NCHW (channel-major) while the flax model flattens NHWC — its
+    input rows are permuted from (C, H, W) to (H, W, C) order before the usual
+    (O, I) -> (I, O) transpose. Later dense layers see 1-D activations and
+    need no permutation."""
     flat: dict = {}
-    conv_idx = bn_idx = 0
+    conv_idx = bn_idx = last_conv_out = 0
     feature_keys = sorted(
         (int(k.split(".")[1]), k) for k in sd if k.startswith("features.") and k.endswith(".weight"))
     for _, key in feature_keys:
@@ -137,14 +143,23 @@ def convert_vgg(sd: dict) -> dict:
             flat[f"params/conv{conv_idx}/conv/kernel"] = _t_conv(sd[key])
             if f"{src}.bias" in sd:
                 flat[f"params/conv{conv_idx}/conv/bias"] = np.asarray(sd[f"{src}.bias"])
+            last_conv_out = np.asarray(sd[key]).shape[0]
             conv_idx += 1
         else:  # 1-D weight in features = batchnorm
             _put_norm(flat, sd, src, f"bn{bn_idx}")
             bn_idx += 1
+    first = True
     for src, dst in (("classifier.0", "fc0"), ("classifier.3", "fc1"), ("classifier.6", "head")):
         if f"{src}.weight" in sd:
-            flat[f"params/{dst}/dense/kernel"] = _t_dense(sd[f"{src}.weight"])
+            w = np.asarray(sd[f"{src}.weight"])
+            if first and last_conv_out and w.shape[1] % last_conv_out == 0:
+                side = int(round((w.shape[1] // last_conv_out) ** 0.5))
+                if side * side * last_conv_out == w.shape[1]:
+                    w = (w.reshape(w.shape[0], last_conv_out, side, side)
+                         .transpose(0, 2, 3, 1).reshape(w.shape[0], -1))
+            flat[f"params/{dst}/dense/kernel"] = _t_dense(w)
             flat[f"params/{dst}/dense/bias"] = np.asarray(sd[f"{src}.bias"])
+            first = False
     return flat
 
 
