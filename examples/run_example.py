@@ -10,7 +10,22 @@ sys.path.insert(0, ".")
 
 EXAMPLES = {
     "inverting_gradients_resnet18": ["case=2_single_imagenet", "attack=invertinggradients"],
-    "inverting_gradients_fedavg": ["case=4_fedavg_small_scale", "attack=invertinggradients"],
+    # reference notebook "...ResNet18 on ImageNet - Federated Averaging":
+    # 4 images, 4 local steps of batch 2, labels provided
+    "inverting_gradients_fedavg": ["case=4_fedavg_small_scale", "attack=invertinggradients",
+                                   "case.user.num_data_points=4",
+                                   "case.user.num_local_updates=4",
+                                   "case.user.num_data_per_local_update_step=2",
+                                   "case.user.provide_labels=True",
+                                   "case.user.user_idx=1"],
+    # demo-scale fedAVG variant (ConvNet on CIFAR-10 — the fast sandbox the
+    # old case-4 yaml used to bake in; now a visible preset)
+    "inverting_gradients_fedavg_cifar": ["case=4_fedavg_small_scale", "attack=invertinggradients",
+                                         "case/data=CIFAR10", "case.model=ConvNet",
+                                         "case.user.num_data_points=4",
+                                         "case.user.num_local_updates=4",
+                                         "case.user.num_data_per_local_update_step=2",
+                                         "case.user.provide_labels=True"],
     # grad_accum=10: one double-backward over the full batch of 100 on the
     # 46M-param WRN exceeds v5e HBM; checkpointed micro-batches of 10 fit.
     # callback=100: at ~3 it/s a 1000-iteration chunk is a single >5-minute
@@ -43,7 +58,8 @@ EXAMPLES = {
     "curious_abandon_honesty": ["case=1_single_image_small", "attack=imprint",
                                 "case/server=malicious-model-cah"],
     "fishing": ["case=5_small_batch_imagenet", "attack=clsattack",
-                "case/server=malicious-fishing", "case.user.provide_labels=True"],
+                "case/server=malicious-fishing", "case.user.provide_labels=True",
+                "case.user.num_data_points=8"],
     # reference notebook "Meta Optimization-based Attack - Feature Fishing
     # Cross-Silo-Unique Data": worst case, each user owns one class (PSNR 12.27)
     "fishing_optimization_unique": [

@@ -17,6 +17,7 @@ from breaching_tpu.attacks.auxiliaries.objectives import Euclidean
 def test_unrolled_objective_zero_at_truth():
     cfg = breaching.get_config([
         "case=4_fedavg_small_scale", "attack=invertinggradients",
+        "case/data=CIFAR10",  # fast sandbox; case 4 itself is now ResNet18/ImageNetAnimals
         "case.model=ConvNetSmall16", "case.data.shape=[3, 16, 16]",
         "case.data.partition=unique-class", "case.user.user_idx=2",
         "case.user.num_data_points=4", "case.user.num_local_updates=3",

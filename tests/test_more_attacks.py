@@ -23,6 +23,8 @@ def _run(overrides):
 def test_april_vit_inversion():
     rec, true_data, metrics = _run([
         "case=2_single_imagenet", "attack=april_analytic",
+        "case/data=ImageNet",  # keeps this test's synthetic images stable across the
+        # case-2 ImageNetAnimals restore (seeds hash the dataset name)
         "case.model=vit_small_april", "case.data.shape=[3, 32, 32]",
         "case.data.classes=20", "case.user.num_data_points=1",
         "case.user.provide_labels=True", "seed=21",

@@ -57,6 +57,10 @@ def test_end_to_end_fedavg():
     cfg = breaching.get_config([
         "case=4_fedavg_small_scale",
         "attack=invertinggradients",
+        # case 4 now matches the reference (ResNet18/ImageNetAnimals); the
+        # test keeps the fast CIFAR sandbox via explicit overrides
+        "case/data=CIFAR10",
+        "case.user.provide_labels=True",
         "case.model=ConvNetSmall16",
         "case.data.shape=[3, 16, 16]",
         "case.user.num_data_points=4",
