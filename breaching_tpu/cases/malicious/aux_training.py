@@ -68,7 +68,10 @@ def _nearest_indices(z, emb):
     tensor (reference aux_training/nearest_embed.py:36-48):
     argmin_k ||z - e_k||^2 == argmin_k (||e_k||^2 - 2 z.e_k).
     """
-    scores = jnp.sum(emb * emb, axis=0)[None, :] - 2.0 * (z @ emb)
+    # HIGHEST precision: at the TPU default (bf16 passes), score gaps between
+    # nearby ~0.02-scale codes fall below bf16 resolution and flip assignments.
+    scores = jnp.sum(emb * emb, axis=0)[None, :] - 2.0 * jnp.matmul(
+        z, emb, precision=jax.lax.Precision.HIGHEST)
     return jnp.argmin(scores, axis=-1)
 
 
@@ -153,11 +156,14 @@ def train_encoder_decoder(data_shape, dataloader=None, steps: int = 500,
         raise ValueError(f"Invalid aux-training arch {arch}.")
     h, w, c = data_shape
     model = VAE(out_shape=(h, w, c))
-    key = jax.random.PRNGKey(seed)
-    params = model.init(key, jnp.zeros((1, h, w, c)), key)["params"]
+    # independent streams for model init / codebook init / synthetic data, so
+    # the codebook is not correlated with the data it is then trained on
+    key, init_key, emb_key, data_key = jax.random.split(
+        jax.random.PRNGKey(seed), 4)
+    params = model.init(init_key, jnp.zeros((1, h, w, c)), init_key)["params"]
     if arch in _VQ_COEFS:
         # reference VQ_CVAE:108-110: normal(0, 0.02) clipped by fmod(0.04)
-        emb0 = 0.02 * jax.random.normal(key, (model.latent_dim, num_embeddings))
+        emb0 = 0.02 * jax.random.normal(emb_key, (model.latent_dim, num_embeddings))
         params = dict(params, codebook=jnp.fmod(emb0, 0.04))
     opt = optax.adam(lr)
     opt_state = opt.init(params)
@@ -170,7 +176,7 @@ def train_encoder_decoder(data_shape, dataloader=None, steps: int = 500,
                 break
         data = jnp.concatenate(batches)
     else:
-        data = jax.random.normal(key, (256, h, w, c)) * 0.5
+        data = jax.random.normal(data_key, (256, h, w, c)) * 0.5
 
     def _net(p):
         return {"params": {k: v for k, v in p.items() if k != "codebook"}}

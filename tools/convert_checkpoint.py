@@ -157,6 +157,14 @@ def convert_vgg(sd: dict) -> dict:
                 if side * side * last_conv_out == w.shape[1]:
                     w = (w.reshape(w.shape[0], last_conv_out, side, side)
                          .transpose(0, 2, 3, 1).reshape(w.shape[0], -1))
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"VGG fc0 input ({w.shape[1]}) is divisible by the last "
+                        f"conv width ({last_conv_out}) but the feature map is "
+                        f"not square — leaving the torch channel-major layout "
+                        f"unpermuted; verify forward equivalence before use.")
             flat[f"params/{dst}/dense/kernel"] = _t_dense(w)
             flat[f"params/{dst}/dense/bias"] = np.asarray(sd[f"{src}.bias"])
             first = False
