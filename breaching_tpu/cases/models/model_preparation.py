@@ -265,8 +265,17 @@ def _maybe_load_pretrained(model: JaxModel, cfg_data) -> None:
             f"pretrained=True but no checkpoint at {path}; keeping random init. "
             f"Produce one with tools/train_model.py or tools/convert_checkpoint.py.")
         return
-    replaced = load_flat_state(model, dict(np.load(path)))
     import logging
 
+    try:
+        replaced = load_flat_state(model, dict(np.load(path)))
+    except ValueError as err:
+        # A checkpoint trained for another head width (e.g. ImageNet-1000 vs
+        # ImageNetAnimals-397 sharing <path>/checkpoints) must not crash the
+        # case factory — warn loudly and keep random init instead.
+        logging.getLogger(__name__).warning(
+            f"Checkpoint at {path} does not fit this model ({err}); "
+            f"keeping random init.")
+        return
     logging.getLogger(__name__).info(
         f"Loaded {replaced} pretrained tensors for {model.name} from {path}.")

@@ -22,7 +22,16 @@ train.* keys (consumed here, not part of the case config):
     epochs (10), lr (0.1), batch_size (128), weight_decay (5e-4),
     momentum (0.9), optimizer (sgd | adamw), limit (cap on training examples,
     0 = all), eval_batches (batches of the val split scored per epoch),
-    out (explicit output path overriding the checkpoints/ convention).
+    out (explicit output path overriding the checkpoints/ convention),
+    res (train at a reduced square resolution, 0 = the case's native shape).
+
+`train.res` exists because the synthetic backend generates images on the
+single-core host (~18 ms per 224-square image) — at ImageNet scale that makes
+the input pipeline, not the TPU, the wall clock. ResNets/ConvNets with global
+pooling are resolution-agnostic in their parameters, so training at e.g. 112
+produces a checkpoint whose every leaf matches the 224-square attack model;
+only the fc layer of flatten-style ConvNets pins the resolution (the trainer
+errors on a shape mismatch at save-load time rather than guessing).
 """
 
 import os
@@ -42,7 +51,7 @@ from breaching_tpu.cases.models.model_preparation import construct_model
 
 TRAIN_DEFAULTS = dict(epochs=10, lr=0.1, batch_size=128, weight_decay=5e-4,
                       momentum=0.9, optimizer="sgd", limit=0, eval_batches=8,
-                      out="")
+                      out="", res=0)
 
 
 def dump_flat_state(model) -> dict:
@@ -66,12 +75,31 @@ def _batch_arrays(batch, modality):
     return jnp.asarray(inputs), jnp.asarray(batch["labels"])
 
 
+def _apply_res(cfg_data, res: int) -> None:
+    """Scale the data config to a reduced training resolution (see docstring)."""
+    cfg_data.shape = [int(cfg_data.shape[0]), res, res]
+    for aug_key in ("augmentations_train", "augmentations_val"):
+        aug = cfg_data.get(aug_key)
+        if not aug:
+            continue
+        for name in list(aug.keys()):
+            if name in ("RandomResizedCrop", "CenterCrop"):
+                aug[name] = res
+            elif name == "Resize":
+                aug[name] = round(res * 256 / 224)
+            elif name == "RandomCrop":
+                pad = aug[name][1] if isinstance(aug[name], (list, tuple)) else 0
+                aug[name] = [res, pad]
+
+
 def train(cfg, tr) -> str:
     cfg_data = cfg.case.data
     cfg_data.examples_from_split = "training"
     cfg_data.batch_size = int(tr["batch_size"])
     # partition=none => the full split, like the reference's central training
     cfg_data.partition = "none"
+    if tr["res"]:
+        _apply_res(cfg_data, int(tr["res"]))
 
     loader = construct_dataloader(cfg_data, cfg.case.impl, user_idx=0,
                                   return_full_dataset=True)
@@ -104,6 +132,32 @@ def train(cfg, tr) -> str:
         updates, opt_state_ = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, aux.get("batch_stats", buffers), opt_state_, loss
+
+    @jax.jit
+    def update_stats(params, buffers, inputs):
+        _, aux = model.apply(params, buffers, inputs, train=True)
+        return aux.get("batch_stats", buffers)
+
+    init_buffers = model.buffers
+
+    def recalibrate(params, batches=16):
+        """Re-estimate BN running statistics under the *current* weights.
+
+        The BatchNorm layers keep cumulative (momentum=None) running averages —
+        the attack-time semantics the reference forces (cases/users.py:140-143).
+        Accumulated across a whole training run that weighs epoch-1 activation
+        statistics (random weights) equally with final-epoch ones, which makes
+        eval-mode normalization useless. So: reset to the fresh-init statistics
+        and cumulatively average `batches` training batches with the trained
+        weights — the exact mean of those batch statistics.
+        """
+        if not jax.tree_util.tree_leaves(init_buffers):
+            return init_buffers
+        fresh = init_buffers
+        for batch, _ in zip(loader, range(batches)):
+            inputs, _ = _batch_arrays(batch, modality)
+            fresh = update_stats(params, fresh, inputs)
+        return fresh
 
     @jax.jit
     def score(params, buffers, inputs, labels):
@@ -139,6 +193,7 @@ def train(cfg, tr) -> str:
             params, buffers, opt_state, loss = step(
                 params, buffers, opt_state, inputs, labels)
             losses.append(float(loss))
+        buffers = recalibrate(params)
         msg = (f"epoch {epoch + 1}/{tr['epochs']}: loss {np.mean(losses):.4f} "
                f"({time.time() - t0:.1f}s)")
         if val_loader is not None:
