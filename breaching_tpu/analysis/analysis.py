@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import metrics as M
+from .dtcwt import dtcwt_cw_ssim
 
 log = logging.getLogger(__name__)
 
@@ -84,10 +85,13 @@ def _run_vision_metrics(rec_data, true_data, server_payload, model,
         mse=float(mse),
         psnr=float(psnr),
         ssim=float(M.ssim(rec_den, ref_den)),
-        # key says "gabor": the index formula is CW-SSIM's but the complex
-        # coefficients come from a Gabor bank, not the reference's DTCWT
-        # (pytorch_wavelets is torch-only); absolute values are NOT comparable
-        # to DTCWT CW-SSIM numbers — golden values in tests/test_aux_subsystems.py
+        # Real dual-tree complex wavelet CW-SSIM (reference metrics.py:11-55,
+        # pytorch_wavelets near_sym_b/qshift_b) — native JAX implementation,
+        # filter constants validated algebraically in tests/test_dtcwt.py.
+        cw_ssim=float(dtcwt_cw_ssim(rec_den, ref_den)),
+        # Retained fallback/diagnostic: CW-SSIM's index formula over a Gabor
+        # bank instead of the DTCWT. Absolute values are NOT comparable to
+        # cw_ssim — golden values in tests/test_aux_subsystems.py.
         gabor_cw_ssim=float(M.cw_ssim(rec_den, ref_den)),
         rpsnr=float(M.registered_psnr(rec_den, ref_den)),
         max_mse=float(jnp.max(jnp.mean(jnp.square(rec_den - ref_den),
