@@ -40,6 +40,40 @@ def _steady_rate(stats, streams=1):
     return streams * sum(iters) / max(sum(times), 1e-9), sum(iters)
 
 
+# (dense-peak TFLOP/s at the attack loop's matmul precision tier, HBM GB/s)
+# per chip, keyed by jax device_kind. Sources: published TPU system specs.
+TPU_PEAKS = {
+    "TPU v2": (45, 700), "TPU v3": (123, 900), "TPU v4": (275, 1228),
+    "TPU v5 lite": (197, 819), "TPU v5e": (197, 819),
+    "TPU v5p": (459, 2765), "TPU v5": (459, 2765),
+    "TPU v6 lite": (918, 1640), "TPU v6e": (918, 1640),
+    "TPU v7": (2307, 7370),
+}
+
+
+def _mfu_detail(cost, steps_per_sec, device_kind):
+    """FLOP/s + %-of-peak from the compiled chunk's XLA cost model.
+
+    `cost` counts the WHOLE chunk program (chunk_length scan steps, all
+    vmapped trials); `steps_per_sec` is scan steps/s of that same program, so
+    achieved = flops_per_step * steps_per_sec regardless of fleet size.
+    """
+    if not cost or not cost.get("flops"):
+        return {}
+    per_step_flops = cost["flops"] / cost["chunk_length"]
+    per_step_bytes = cost["bytes_accessed"] / cost["chunk_length"]
+    tflops = per_step_flops * steps_per_sec / 1e12
+    hbm_gbps = per_step_bytes * steps_per_sec / 1e9
+    out = {"tflops_per_sec": round(tflops, 2),
+           "hbm_gbytes_per_sec": round(hbm_gbps, 1),
+           "gflops_per_iter": round(per_step_flops / cost["trials"] / 1e9, 2)}
+    peak = next((v for k, v in TPU_PEAKS.items() if device_kind.startswith(k)), None)
+    if peak:
+        out["mfu_pct"] = round(100 * tflops / peak[0], 2)
+        out["hbm_util_pct"] = round(100 * hbm_gbps / peak[1], 1)
+    return out
+
+
 def main():
     import logging
 
@@ -96,6 +130,29 @@ def main():
     metrics2 = breaching.analysis.report(rec2, true2, payloads2, server2.model,
                                          cfg_case=cfg2.case, setup=setup2)
 
+    # --- MFU accounting (XLA cost model of the compiled chunks) ---
+    import jax
+
+    device_kind = jax.devices()[0].device_kind
+    solo_mfu = _mfu_detail(attacker2.chunk_cost_analysis(), solo_rate, device_kind)
+    fleet_mfu = _mfu_detail(attacker.chunk_cost_analysis(), fleet_rate / FLEET,
+                            device_kind)
+
+    # --- fused (Pallas) objective on the same flagship workload ---
+    # same seed/protocol as the solo run; reports throughput delta + PSNR
+    # parity so the kernel's end-to-end value is measured, not assumed
+    cfg4 = breaching.get_config(
+        overrides + ["attack.objective.type=fused-cosine-similarity"])
+    setup4 = breaching.utils.system_startup(cfg=cfg4)
+    user4, server4, _, _ = breaching.cases.construct_case(cfg4.case, setup4)
+    attacker4 = breaching.attacks.prepare_attack(server4.model, server4.loss,
+                                                 cfg4.attack, setup4)
+    shared4, payloads4, true4 = server4.run_protocol(user4)
+    rec4, stats4 = attacker4.reconstruct(payloads4, shared4, server4.secrets)
+    fused_rate, _ = _steady_rate(stats4)
+    metrics4 = breaching.analysis.report(rec4, true4, payloads4, server4.model,
+                                         cfg_case=cfg4.case, setup=setup4)
+
     # --- small-model throughput (ConvNet CIFAR shapes) ---
     cfg3 = breaching.get_config([
         "case=1_single_image_small", "attack=invertinggradients",
@@ -126,6 +183,12 @@ def main():
             "single_stream_iters_per_sec": round(solo_rate, 2),
             "single_stream_vs_baseline": round(solo_rate / BASELINE_ITERS_PER_SEC, 2),
             "convnet_cifar_iters_per_sec": round(small_rate, 1),
+            "device_kind": device_kind,
+            "solo_cost": solo_mfu,
+            "fleet_cost": fleet_mfu,
+            "fused_objective_iters_per_sec": round(fused_rate, 2),
+            "fused_vs_plain_cosine": round(fused_rate / max(solo_rate, 1e-9), 3),
+            "fused_psnr": round(float(metrics4["psnr"]), 2),
         },
     }))
 

@@ -520,6 +520,16 @@ class OptimizationBasedAttacker(_BaseAttacker):
             carry, loss_consts = self._shard_attack_state(
                 sharding_mode, num_trials, carry, loss_consts)
 
+        # --- cost-analysis probe (bench.py MFU accounting): abstract arg
+        # structs let chunk_cost_analysis() re-lower the cached runner later
+        # without holding (donated) device buffers ---
+        def _struct(x):
+            return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+
+        self._cost_probe = None
+        probe_args = jax.tree_util.tree_map(
+            _struct, (carry, jnp.asarray(iteration, jnp.int32), loss_consts))
+
         # --- profiler hook: trace the first post-compile chunk ---
         trace_dir = self.cfg.impl.get("trace_dir")
         traced = False
@@ -543,12 +553,12 @@ class OptimizationBasedAttacker(_BaseAttacker):
                     from jax import profiler as jax_profiler
 
                     with jax_profiler.trace(str(trace_dir)):
-                        carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration), length)
+                        carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration, jnp.int32), length)
                         jax.block_until_ready(values)
                     traced = True
                     log.info(f"Saved profiler trace of one attack chunk to {trace_dir}.")
                 else:
-                    carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration), length)
+                    carry, (values, task_losses) = run_chunk(carry, jnp.asarray(iteration, jnp.int32), length)
                 values = np.asarray(values)       # [trials, chunk] — blocks until chunk done
                 task_losses = np.asarray(task_losses)
                 iteration += length
@@ -582,8 +592,44 @@ class OptimizationBasedAttacker(_BaseAttacker):
             log.info(f"Recovery interrupted manually at iteration {iteration}; "
                      f"returning best-so-far candidates.")
 
+        if chunk_runners:
+            full = max(chunk_runners)  # the steady-state (longest) chunk
+            self._cost_probe = dict(runner=chunk_runners[full], args=probe_args,
+                                    chunk_length=full, trials=num_trials,
+                                    precision=matmul_precision)
+
         _, _, best, best_val, _, _ = carry
         return jax.device_get(best), np.asarray(best_val), stats
+
+    def chunk_cost_analysis(self):
+        """XLA cost model of one compiled attack chunk (for MFU accounting).
+
+        Re-lowers the steady-state chunk runner on abstract arg structs — a
+        compile-cache hit when shapes match the run that populated it — and
+        returns the optimized-HLO FLOP/byte counts plus the chunk geometry
+        needed to normalize them (flops are for the WHOLE chunk program:
+        `chunk_length` scan steps x `trials` vmapped streams). Returns None
+        before any reconstruct() call or if the backend lacks cost analysis.
+        """
+        probe = getattr(self, "_cost_probe", None)
+        if probe is None:
+            return None
+        import contextlib
+
+        ctx = (jax.default_matmul_precision(probe["precision"])
+               if probe["precision"] else contextlib.nullcontext())
+        try:
+            with ctx:
+                compiled = probe["runner"].lower(*probe["args"]).compile()
+            ca = compiled.cost_analysis()
+        except Exception as err:  # backend without cost analysis — not fatal
+            log.info(f"chunk_cost_analysis unavailable: {err}")
+            return None
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return dict(flops=float(ca.get("flops", 0.0)),
+                    bytes_accessed=float(ca.get("bytes accessed", 0.0)),
+                    chunk_length=probe["chunk_length"], trials=probe["trials"])
 
     # ------------------------------------------------------------------ sharding
 

@@ -91,3 +91,21 @@ def test_dryrun_single_iteration():
     cfg = _tiny_cfg(["dryrun=True"])
     rec, true_data, metrics, stats = _run(cfg)
     assert len(stats["Trial_0_Val"]) == 1
+
+
+def test_chunk_cost_analysis_probe():
+    """bench.py's MFU accounting: the attacker exposes the XLA cost model of
+    its steady-state compiled chunk (flops for chunk_length x trials)."""
+    cfg = _tiny_cfg()
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    attacker = breaching.attacks.prepare_attack(server.model, server.loss,
+                                                cfg.attack, setup)
+    shared, payloads, true_data = server.run_protocol(user)
+    attacker.reconstruct(payloads, shared, server.secrets)
+    cost = attacker.chunk_cost_analysis()
+    assert cost is not None
+    assert cost["chunk_length"] == 10
+    assert cost["trials"] == int(cfg.attack.restarts.num_trials)
+    assert cost["flops"] > 1e6  # a conv double-backward chunk is megaflops+
+    assert cost["bytes_accessed"] > 0
