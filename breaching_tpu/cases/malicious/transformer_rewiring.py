@@ -64,7 +64,9 @@ def positional_table(model, params, seq_len):
     registry = (model.aux or {}).get("registry", {})
     pos_path = registry.get("pos_embedding")
     if pos_path is not None:
-        return np.asarray(_fetch(params, pos_path))[:seq_len]
+        # roberta-style tables skip the first pad_token_id+1 rows at runtime
+        off = int(registry.get("pos_offset", 0))
+        return np.asarray(_fetch(params, pos_path))[off:off + seq_len]
     from ..models.language_models import fixed_positional_encoding
 
     module = model.module

@@ -242,10 +242,11 @@ def construct_text_model(cfg_model, cfg_data, key=None, pretrained: bool = False
         # headline numbers use these.
         return _construct_hf_flax_model(name, cfg_data, key, pretrained=pretrained)
     elif name.startswith("hf-"):
-        # exact HuggingFace Flax architecture (config-only, no weight download;
-        # note: HF Flax classes are deprecated upstream and lack inputs_embeds,
-        # so only token-id attacks apply — reference wraps the torch versions in
-        # HuggingFaceContainer, model_preparation.py:97-149)
+        # exact HuggingFace Flax architecture (config-only, no weight download).
+        # Supported families: gpt2, roberta, distilbert, bert (+ '-tiny' test
+        # scales). Continuous-embedding attacks (TAG) work through a flax
+        # method interceptor that emulates inputs_embeds — reference wraps the
+        # torch versions in HuggingFaceContainer, model_preparation.py:97-149.
         return _construct_hf_flax_model(name[3:], cfg_data, key,
                                         pretrained=pretrained)
     elif "gpt2" in name.lower():
@@ -323,6 +324,53 @@ def _bert_registry(nlayers):
     )
 
 
+def _roberta_registry(nlayers):
+    """Registry for HF Flax RoBERTa: BERT block layout under the `roberta`
+    trunk with a tied `lm_head` decoder (reference wraps these through
+    HuggingFaceContainer, model_preparation.py:97-149)."""
+    l = lambda i, *rest: ("roberta", "encoder", "layer", str(i), *rest)
+    return dict(
+        embedding=("roberta", "embeddings", "word_embeddings", "embedding"),
+        pos_embedding=("roberta", "embeddings", "position_embeddings", "embedding"),
+        decoder_bias=("lm_head", "bias"),
+        attention_qkv=[dict(query=l(i, "attention", "self", "query"),
+                            key=l(i, "attention", "self", "key"),
+                            value=l(i, "attention", "self", "value"))
+                       for i in range(nlayers)],
+        attention_out=[l(i, "attention", "output", "dense") for i in range(nlayers)],
+        ff_first=[l(i, "intermediate", "dense") for i in range(nlayers)],
+        ff_second=[l(i, "output", "dense") for i in range(nlayers)],
+        first_ff_norm=("roberta", "encoder", "layer", "0", "attention", "output",
+                       "LayerNorm"),
+        embedding_norm=("roberta", "embeddings", "LayerNorm"),
+        kernel_layout="in_out",
+        pos_offset=2,  # positions start at pad_token_id + 1 (HF roberta)
+        nlayers=nlayers,
+    )
+
+
+def _distilbert_registry(nlayers):
+    """Registry for HF Flax DistilBERT: single-trunk post-LN blocks
+    (q_lin/k_lin/v_lin/out_lin + ffn.lin1/lin2) and a tied vocab_projector."""
+    l = lambda i, *rest: ("distilbert", "transformer", "layer", str(i), *rest)
+    return dict(
+        embedding=("distilbert", "embeddings", "word_embeddings", "embedding"),
+        pos_embedding=("distilbert", "embeddings", "position_embeddings", "embedding"),
+        decoder_bias=("vocab_projector", "bias"),
+        attention_qkv=[dict(query=l(i, "attention", "q_lin"),
+                            key=l(i, "attention", "k_lin"),
+                            value=l(i, "attention", "v_lin"))
+                       for i in range(nlayers)],
+        attention_out=[l(i, "attention", "out_lin") for i in range(nlayers)],
+        ff_first=[l(i, "ffn", "lin1") for i in range(nlayers)],
+        ff_second=[l(i, "ffn", "lin2") for i in range(nlayers)],
+        first_ff_norm=("distilbert", "transformer", "layer", "0", "sa_layer_norm"),
+        embedding_norm=("distilbert", "embeddings", "LayerNorm"),
+        kernel_layout="in_out",
+        nlayers=nlayers,
+    )
+
+
 def _construct_hf_flax_model(hf_name, cfg_data, key, pretrained: bool = False):
     """Wrap a HuggingFace Flax LM into the JaxModel contract.
 
@@ -357,9 +405,52 @@ def _construct_hf_flax_model(hf_name, cfg_data, key, pretrained: bool = False):
         nlayers, ninp = config.n_layer, config.n_embd
         nhid = config.n_inner or 4 * config.n_embd
         registry = _gpt2_registry(nlayers)
-        trunk, final_norm = ("transformer", "h"), ("transformer", "ln_f")
-        ff_norm_name = "ln_2"
+        # pre-LN: the FF input of block i is its ln_2 output
+        ff_tap = lambda i: ("transformer", "h", str(i), "ln_2")
+        final_norm, call_style = ("transformer", "ln_f"), "gpt2"
         head_path = registry["embedding"][:-1]
+    elif "roberta" in hf_name:  # before the bert branch: "ro*bert*a"
+        from transformers import FlaxRobertaForMaskedLM, RobertaConfig
+
+        seq = int(cfg_data.shape[0])
+        if small:
+            config = RobertaConfig(vocab_size=vocab, hidden_size=96,
+                                   num_hidden_layers=3, num_attention_heads=8,
+                                   intermediate_size=384,
+                                   max_position_embeddings=seq + 4,
+                                   pad_token_id=1, hidden_dropout_prob=0.0,
+                                   attention_probs_dropout_prob=0.0)
+        else:
+            # roberta-base geometry: 514 positions absorb the +2 pad offset
+            config = RobertaConfig(vocab_size=vocab,
+                                   max_position_embeddings=max(514, seq + 4),
+                                   pad_token_id=1)
+        hf_model = FlaxRobertaForMaskedLM(config, seed=0)
+        nlayers, ninp = config.num_hidden_layers, config.hidden_size
+        nhid = config.intermediate_size
+        registry = _roberta_registry(nlayers)
+        ff_tap = lambda i: ("roberta", "encoder", "layer", str(i),
+                            "attention", "output", "LayerNorm")
+        final_norm, call_style = None, "roberta"
+        head_path = registry["embedding"][:-1]  # tied lm_head decoder
+    elif "distilbert" in hf_name:  # before the bert branch: "distil*bert*"
+        from transformers import DistilBertConfig, FlaxDistilBertForMaskedLM
+
+        if small:
+            config = DistilBertConfig(vocab_size=vocab, dim=96, n_layers=3,
+                                      n_heads=8, hidden_dim=384,
+                                      max_position_embeddings=64, dropout=0.0,
+                                      attention_dropout=0.0)
+        else:
+            config = DistilBertConfig(vocab_size=vocab)
+        hf_model = FlaxDistilBertForMaskedLM(config, seed=0)
+        nlayers, ninp = config.n_layers, config.dim
+        nhid = config.hidden_dim
+        registry = _distilbert_registry(nlayers)
+        ff_tap = lambda i: ("distilbert", "transformer", "layer", str(i),
+                            "sa_layer_norm")
+        final_norm, call_style = None, "distilbert"
+        head_path = registry["embedding"][:-1]  # tied vocab_projector
     elif "bert" in hf_name:
         from transformers import BertConfig, FlaxBertForMaskedLM
 
@@ -380,8 +471,10 @@ def _construct_hf_flax_model(hf_name, cfg_data, key, pretrained: bool = False):
         nlayers, ninp = config.num_hidden_layers, config.hidden_size
         nhid = config.intermediate_size
         registry = _bert_registry(nlayers)
-        trunk, final_norm = ("bert", "encoder", "layer"), None
-        ff_norm_name = None  # post-LN: ff_input is the attention-output LayerNorm
+        # post-LN: ff_input is the attention-output LayerNorm of block i
+        ff_tap = lambda i: ("bert", "encoder", "layer", str(i),
+                            "attention", "output", "LayerNorm")
+        final_norm, call_style = None, "bert"
         head_path = ("cls", "predictions")
     else:
         raise ValueError(f"Unsupported HF flax model {hf_name}.")
@@ -396,11 +489,7 @@ def _construct_hf_flax_model(hf_name, cfg_data, key, pretrained: bool = False):
         out = {}
         for i in range(nlayers):
             try:
-                if ff_norm_name is not None:  # gpt2: ln_2 of block i
-                    tap = _walk(inter, ("transformer", "h", str(i), ff_norm_name))
-                else:  # bert: attention/output/LayerNorm of block i
-                    tap = _walk(inter, ("bert", "encoder", "layer", str(i),
-                                        "attention", "output", "LayerNorm"))
+                tap = _walk(inter, ff_tap(i))
                 out[f"layer{i}"] = {"ff_input": tap["__call__"]}
             except (KeyError, TypeError):
                 continue
@@ -413,29 +502,62 @@ def _construct_hf_flax_model(hf_name, cfg_data, key, pretrained: bool = False):
         return out
 
     flax_module = hf_model.module
-    is_bert = "bert" in hf_name
 
     def _call_args(ids):
         mask = jnp.ones_like(ids)
         positions = jnp.broadcast_to(jnp.arange(ids.shape[1])[None], ids.shape)
-        if is_bert:  # (ids, mask, token_type_ids, position_ids, head_mask)
+        if call_style == "bert":  # (ids, mask, token_type_ids, position_ids, head_mask)
             return (ids, mask, jnp.zeros_like(ids), positions, None)
+        if call_style == "roberta":
+            # HF offsets roberta positions past the padding index
+            # (create_position_ids_from_input_ids: pad_token_id + 1 + cumsum)
+            return (ids, mask, jnp.zeros_like(ids),
+                    positions + config.pad_token_id + 1, None)
+        if call_style == "distilbert":  # (ids, mask) only
+            return (ids, mask)
         return (ids, mask, positions)
+
+    # HF Flax modules take token ids only (no inputs_embeds) — yet the
+    # optimization attacks (TAG etc.) relax over continuous embeddings. Bridge
+    # the gap with flax method interception: run on dummy ids and substitute
+    # the word-embedding module's output with the candidate embeddings. This
+    # is exactly HF's inputs_embeds semantics (word part replaced; position/
+    # token-type embeddings and embedding LayerNorm still applied on top).
+    emb_module_name = "wte" if call_style == "gpt2" else "word_embeddings"
+
+    def _embed_interceptor(override):
+        import flax.linen as nn
+
+        def interceptor(next_fun, args, kwargs, context):
+            if (context.module.name == emb_module_name
+                    and context.method_name == "__call__"):
+                return override.astype(next_fun(*args, **kwargs).dtype)
+            return next_fun(*args, **kwargs)
+
+        return nn.intercept_methods(interceptor)
 
     @dataclasses.dataclass
     class HFJaxModel(JaxModel):
         def apply(self, params, buffers, inputs, train: bool = False, capture: bool = False):
-            ids = jnp.asarray(inputs, jnp.int32)
+            import contextlib
+
+            inputs = jnp.asarray(inputs)
+            if jnp.issubdtype(inputs.dtype, jnp.floating) and inputs.ndim == 3:
+                ids = jnp.zeros(inputs.shape[:2], jnp.int32)
+                ctx = _embed_interceptor(inputs)
+            else:
+                ids, ctx = jnp.asarray(inputs, jnp.int32), contextlib.nullcontext()
             variables = {"params": params}
-            if not capture:
-                outputs = flax_module.apply(variables, *_call_args(ids),
-                                            deterministic=True)
-                return outputs.logits, {}
-            outputs, inter = flax_module.apply(
-                variables, *_call_args(ids), deterministic=True,
-                mutable=["intermediates"],
-                capture_intermediates=lambda mdl, name: name == "__call__"
-                and mdl.__class__.__name__ == "LayerNorm")
+            with ctx:
+                if not capture:
+                    outputs = flax_module.apply(variables, *_call_args(ids),
+                                                deterministic=True)
+                    return outputs.logits, {}
+                outputs, inter = flax_module.apply(
+                    variables, *_call_args(ids), deterministic=True,
+                    mutable=["intermediates"],
+                    capture_intermediates=lambda mdl, name: name == "__call__"
+                    and mdl.__class__.__name__ == "LayerNorm")
             translated = _translate_capture(dict(inter)["intermediates"])
             return outputs.logits, {"intermediates": translated}
 

@@ -66,6 +66,10 @@ class MLMLoss:
 
     def __call__(self, outputs, labels):
         logits = outputs.reshape(-1, outputs.shape[-1])
+        if labels.ndim == outputs.ndim:  # soft labels [B, T, V] (joint-optimization)
+            # no ignore positions in the relaxed case — same semantics torch's
+            # CrossEntropyLoss adopts for class-probability targets
+            return _cross_entropy(logits, labels.reshape(-1, labels.shape[-1]))
         flat_labels = labels.reshape(-1)
         mask = flat_labels != -100
         safe_labels = jnp.where(mask, flat_labels, 0)
