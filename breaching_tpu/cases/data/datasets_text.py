@@ -107,6 +107,16 @@ class TextDataset:
             return np.load(path)["input_ids"]
         return None
 
+    def _real_class_label(self, gidx: int):
+        """Sequence-level class label from the on-disk npz, if it ships one."""
+        path = os.path.expanduser(os.path.join(
+            str(self.cfg.path), f"{self.name}_{self.split}.npz"))
+        if os.path.exists(path):
+            z = np.load(path)
+            if "labels" in z.files:
+                return np.int64(z["labels"][gidx])
+        return None
+
     def __len__(self):
         return len(self.indices)
 
@@ -140,6 +150,18 @@ class TextDataset:
         return ids
 
     def _labels_for(self, ids: np.ndarray, gidx: int) -> np.ndarray:
+        if self.task == "classification":
+            # GLUE-style sequence classification (reference datasets_text.py:114
+            # pulls the dataset's label column). Real data: `labels` array in the
+            # npz. Synthetic fallback: a deterministic content-derived label so
+            # training is learnable and label-recovery attacks are meaningful —
+            # class = parity of the low-rank-token count (depends on every
+            # position, like real linguistic acceptability).
+            real = self._real_class_label(gidx) if self._raw is not None else None
+            if real is not None:
+                return real
+            classes = int(self.cfg.get("classes", 2) or 2)
+            return np.int64(int((ids < self.vocab_size // 8).sum()) % classes)
         if self.task == "masked-lm" and not self.cfg.get("disable_mlm", False):
             rng = np.random.default_rng(_stable_seed("mlm", self.name, gidx))
             labels = np.full_like(ids, -100)

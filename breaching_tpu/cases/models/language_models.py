@@ -94,6 +94,10 @@ class TransformerModel(nn.Module):
     norm_first: bool = False
     max_len: int = 1024
     imprint_block: nn.Module | None = None
+    # sequence classification (GLUE-style, e.g. data=cola): first-position
+    # pooling + a Dense head replaces the LM decoder (the reference reaches
+    # this through AutoModelForSequenceClassification, model_preparation.py:108)
+    num_classes: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -127,6 +131,8 @@ class TransformerModel(nn.Module):
                              norm_first=self.norm_first, name=f"layer{i}")(h)
 
         self.sow("intermediates", "features", h)
+        if self.num_classes is not None:
+            return nn.Dense(self.num_classes, name="classifier")(h[:, 0, :])
         if self.tie_weights:
             bias = self.param("decoder_bias", nn.initializers.zeros, (self.ntokens,))
             return h @ embedding.T + bias
@@ -257,11 +263,21 @@ def construct_text_model(cfg_model, cfg_data, key=None, pretrained: bool = False
     else:
         raise ValueError(f"Unknown text model {cfg_model}.")
 
+    head_path = ("decoder",)
+    if getattr(cfg_data, "task", None) == "classification":
+        # GLUE-style sequence classification (reference: AutoModelFor-
+        # SequenceClassification, model_preparation.py:101-108)
+        if not isinstance(module, TransformerModel):
+            raise ValueError(f"task=classification needs a transformer model, "
+                             f"got {name}.")
+        module = module.clone(num_classes=int(cfg_data.classes),
+                              tie_weights=False)
+        head_path = ("classifier",)
     if key is None:
         key = jax.random.PRNGKey(0)
     example = jnp.zeros((1, seq), jnp.int32)
     model = JaxModel(name=name, module=module, params={}, buffers={},
-                     modality="text", head_path=("decoder",), input_example=example)
+                     modality="text", head_path=head_path, input_example=example)
     model.params, model.buffers = model.init_state(key, example)
     tied = isinstance(module, TransformerModel) and module.tie_weights
     if isinstance(module, TransformerModel):
@@ -478,6 +494,24 @@ def _construct_hf_flax_model(hf_name, cfg_data, key, pretrained: bool = False):
         head_path = ("cls", "predictions")
     else:
         raise ValueError(f"Unsupported HF flax model {hf_name}.")
+
+    if getattr(cfg_data, "task", None) == "classification":
+        # GLUE-style heads (reference: AutoModelForSequenceClassification,
+        # model_preparation.py:101-108). Same trunk/registry; only the head
+        # and its gradient path change.
+        import transformers
+
+        clf = {"bert": ("FlaxBertForSequenceClassification", ("classifier",)),
+               "roberta": ("FlaxRobertaForSequenceClassification",
+                           ("classifier", "out_proj")),
+               "distilbert": ("FlaxDistilBertForSequenceClassification",
+                              ("classifier",))}.get(call_style)
+        if clf is None:
+            raise ValueError(f"No Flax sequence-classification head for "
+                             f"{hf_name} (transformers ships none for gpt2).")
+        config.num_labels = int(cfg_data.classes)
+        hf_model = getattr(transformers, clf[0])(config, seed=0)
+        head_path = clf[1]
 
     def _walk(tree, path):
         for k in path:

@@ -80,6 +80,27 @@ def harvest(name):
         return yaml.safe_load(fh)
 
 
+RESULTS_DIR = "results"  # git-tracked evidence (outputs/ is gitignored)
+
+
+def publish(name, dt=None):
+    """Copy a setting's metrics yaml + log tail into the tracked results/ dir
+    so every PARITY.md number is traceable to a committed artifact."""
+    os.makedirs(os.path.join(RESULTS_DIR, "metrics"), exist_ok=True)
+    os.makedirs(os.path.join(RESULTS_DIR, "logs"), exist_ok=True)
+    src = os.path.join("outputs", f"metrics_{name}.yaml")
+    if os.path.exists(src):
+        import shutil
+
+        shutil.copyfile(src, os.path.join(RESULTS_DIR, "metrics", f"{name}.yaml"))
+    log_src = os.path.join("outputs", "parity", f"{name}.log")
+    if os.path.exists(log_src):
+        with open(log_src) as fh:
+            tail = fh.readlines()[-80:]
+        with open(os.path.join(RESULTS_DIR, "logs", f"{name}.log"), "w") as fh:
+            fh.writelines(tail)
+
+
 def main():
     force = "--force" in sys.argv
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -114,15 +135,21 @@ def main():
         if metrics is not None:
             metrics["_wall_s"] = round(dt, 1)
             results[name] = metrics
+            publish(name)
 
+    cols = ["psnr", "rpsnr", "lpips", "mse", "accuracy", "token_acc",
+            "sacrebleu", "rougeL", "_wall_s"]
+    table = "name\t" + "\t".join(cols) + "\n"
+    for name, m in results.items():
+        table += name + "\t" + "\t".join(
+            f"{m.get(c):.4f}" if isinstance(m.get(c), float) else str(m.get(c, ""))
+            for c in cols) + "\n"
     with open("outputs/parity_table.tsv", "w") as fh:
-        cols = ["psnr", "rpsnr", "lpips", "mse", "accuracy", "token_acc",
-                "sacrebleu", "rougeL", "_wall_s"]
-        fh.write("name\t" + "\t".join(cols) + "\n")
-        for name, m in results.items():
-            fh.write(name + "\t" + "\t".join(
-                f"{m.get(c):.4f}" if isinstance(m.get(c), float) else str(m.get(c, ""))
-                for c in cols) + "\n")
+        fh.write(table)
+    if not wanted:  # only a full sweep overwrites the committed table
+        os.makedirs(RESULTS_DIR, exist_ok=True)
+        with open(os.path.join(RESULTS_DIR, "parity_table.tsv"), "w") as fh:
+            fh.write(table)
     print(json.dumps({k: {c: v.get(c) for c in ("psnr", "accuracy", "_wall_s")}
                       for k, v in results.items()}, default=str))
 

@@ -8,7 +8,8 @@ def test_default_compose():
     assert cfg.case.name == "single_imagenet"
     assert cfg.attack.type == "invertinggradients"
     assert cfg.attack.optim.max_iterations == 24_000
-    assert cfg.case.data.classes == 1000
+    # reference case 2 composes data=ImageNetAnimals (397 animal classes)
+    assert cfg.case.data.classes == 397
 
 
 def test_group_swap_and_override():

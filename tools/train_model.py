@@ -51,7 +51,7 @@ from breaching_tpu.cases.models.model_preparation import construct_model
 
 TRAIN_DEFAULTS = dict(epochs=10, lr=0.1, batch_size=128, weight_decay=5e-4,
                       momentum=0.9, optimizer="sgd", limit=0, eval_batches=8,
-                      out="", res=0)
+                      out="", res=0, resume=0)
 
 
 def dump_flat_state(model) -> dict:
@@ -181,6 +181,15 @@ def train(cfg, tr) -> str:
     out = str(tr["out"]) or os.path.expanduser(
         os.path.join(str(cfg_data.path), "checkpoints", f"{model.name}.npz"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
+
+    if tr["resume"] and os.path.exists(out):
+        # continue an interrupted run from its last per-epoch save (fresh
+        # optimizer state; the cosine schedule restarts at train.lr)
+        from breaching_tpu.cases.models.model_preparation import load_flat_state
+
+        replaced = load_flat_state(model, dict(np.load(out)), strict=True)
+        params, buffers = model.params, model.buffers
+        print(f"Resumed {replaced} tensors from {out}.", flush=True)
 
     print(f"Training {model.name} on {loader.name} "
           f"({len(loader.dataset)} examples, {steps_per_epoch} steps/epoch).",
