@@ -98,3 +98,20 @@ def test_trained_model_fits_train_split(trained):
                             jnp.asarray(batch["inputs"]), train=False)
     acc = float((jnp.argmax(logits, -1) == jnp.asarray(batch["labels"])).mean())
     assert acc > 0.2, f"trained model at chance level ({acc:.3f})"
+
+
+def test_resume_continues_from_checkpoint(trained):
+    """train.resume=1 must start from the saved weights, not random init."""
+    from tools.train_model import TRAIN_DEFAULTS, dump_flat_state, train
+
+    cfg, path = trained
+    before = dict(np.load(path))
+    tr = dict(TRAIN_DEFAULTS, epochs=1, batch_size=32, limit=64, lr=0.0,
+              eval_batches=0, out=path, resume=1, weight_decay=0.0,
+              momentum=0.0)
+    train(cfg, tr)  # lr=0, wd=0: a resumed no-op epoch must keep the weights
+    after = dict(np.load(path))
+    for k in before:
+        if k.startswith("params/"):
+            np.testing.assert_allclose(after[k], before[k], atol=1e-6,
+                                       err_msg=k)
