@@ -4,6 +4,7 @@ known settings have closed-form answers)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import breaching_tpu as breaching
 
@@ -102,6 +103,7 @@ def test_joint_label_attack_recovers_label():
     assert stats["Trial_0_Val"][-1] < stats["Trial_0_Val"][0]
 
 
+@pytest.mark.slow
 def test_deep_imprint_with_trained_feature_decoder():
     """handle_preceding_layers=VAE at a stage-2 placement: the decoder is
     trained to invert the real prefix feature map (reference feat_decoders.py),

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from breaching_tpu.analysis.metrics import (_affine_warp, mse_psnr,
                                             registered_psnr)
@@ -74,6 +75,7 @@ def test_projective_registration_beats_affine_on_perspective_warp():
     assert registered >= proj_psnr - 1e-4
 
 
+@pytest.mark.slow
 def test_iip_full_pool_ranks_perfect_reconstruction_first(tmp_path):
     """VERDICT r2 #10: iip_pool_cap=0 scores against the FULL validation split
     (the reference's behavior, metrics.py:245-295); a perfect reconstruction
