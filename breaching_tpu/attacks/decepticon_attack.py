@@ -206,9 +206,43 @@ class DecepticonAttacker(AnalyticAttacker):
 
         weight = float(self.cfg.get("embedding_token_weight", 0.25) or 0.0)
         if weight > 0 or leaked is None:
-            recovered_tokens = self._supplement_from_full_vocabulary(
-                recovered_tokens, slot_costs, breached_without_positions,
-                embedding_table, norm_scale, norm_bias, v, weight)
+            supplemented = None
+            if self.cfg.get("exact_supplement", False):
+                supplemented = self._supplement_exact(
+                    recovered_tokens, slot_costs, ordered, model,
+                    (len_data, seq_len), v, weight)
+            if supplemented is not None:
+                recovered_tokens = supplemented
+            else:
+                recovered_tokens = self._supplement_from_full_vocabulary(
+                    recovered_tokens, slot_costs, breached_without_positions,
+                    embedding_table, norm_scale, norm_bias, v, weight)
+
+        if self.cfg.get("collision_recovery", False) and leaked is not None and len(leaked) > 0:
+            recovered_tokens, slot_costs = self._recover_collisions(
+                model, ordered, recovered_tokens, slot_costs, leaked,
+                (len_data, seq_len), v)
+
+        # ---- exact-reference position/token alternation (beyond-reference):
+        # with tokens estimated, re-assign rows to the positions whose EXACT
+        # composed reference they correlate with (a right token at the right
+        # position scores ~1.0, anywhere else far less), then re-estimate
+        # tokens at the new positions. Fixes the residual misplacements the
+        # decorrelation-based refinement cannot see. ----
+        exact_rounds = int(self.cfg.get("exact_refinement", 0) or 0)
+        if exact_rounds and self.cfg.get("exact_supplement", False):
+            for _ in range(exact_rounds):
+                moved, ordered, recovered_tokens, slot_costs = \
+                    self._exact_position_round(
+                        model, ordered, recovered_tokens, slot_costs,
+                        (len_data, seq_len), v)
+                if not moved:
+                    break
+                supplemented = self._supplement_exact(
+                    recovered_tokens, slot_costs, ordered, model,
+                    (len_data, seq_len), v, weight)
+                if supplemented is not None:
+                    recovered_tokens = supplemented
 
         final_tokens = recovered_tokens.reshape(len_data, seq_len)
         confidence = self._compute_confidence_estimates(
@@ -537,6 +571,251 @@ class DecepticonAttacker(AnalyticAttacker):
             ordered[sentence * seq_len:(sentence + 1) * seq_len] = block
         return ordered
 
+    def _exact_tables(self, model, seq_len):
+        """Raw tables for exact reference composition, or None when the
+        registry lacks a learned embedding table: (wte, pos_tab, type_offset,
+        emb_norm (scale, bias) or None, first_norm (scale, bias))."""
+        registry = (model.aux or {}).get("registry", {})
+        emb_path = registry.get("embedding")
+        if emb_path is None:
+            return None
+        try:
+            wte = np.asarray(_fetch(model.params, emb_path), np.float64)
+        except (KeyError, TypeError):
+            return None
+        from ..cases.malicious.transformer_rewiring import positional_table
+
+        pos_tab = np.asarray(positional_table(model, model.params, seq_len),
+                             np.float64)
+        if len(pos_tab) < seq_len:
+            return None
+        offset = np.zeros(wte.shape[1])
+        type_path = registry.get("type_embedding")
+        if type_path is not None:
+            try:
+                offset = np.asarray(_fetch(model.params, type_path),
+                                    np.float64)[0]
+            except (KeyError, TypeError):
+                pass
+        emb_norm = None
+        emb_norm_path = registry.get("embedding_norm")
+        if emb_norm_path is not None:
+            n0 = _fetch(model.params, emb_norm_path)
+            emb_norm = (np.asarray(n0["scale"], np.float64),
+                        np.asarray(n0["bias"], np.float64))
+        norm_scale, norm_bias = self._first_norm_params(model)
+        return (wte, pos_tab, offset, emb_norm,
+                (np.asarray(norm_scale, np.float64),
+                 np.asarray(norm_bias, np.float64)))
+
+    def _exact_reference_builder(self, model, seq_len):
+        """Build f(slot_idx, token_idx) -> exact content-sliced first-norm
+        states LN_first(embLN(wte[t] + pos[p] [+ tte_0])).
+
+        The rest of the pipeline matches states against *additively* combined
+        LN(emb) + LN(pos) references (the reference's approximation,
+        analytic_attack.py:183-211) — good enough for assignment but too noisy
+        to decompose a COLLIDED bin, whose minority component carries only a
+        fraction of the state's energy. Composing the tables exactly (layer
+        norms applied to the sum, as the forward pass does) raises the
+        single-state match correlation from ~0.978 to ~1.0 on the hf-bert
+        1x512 lab exchange, which is what makes residual decomposition
+        feasible. Returns None when the registry lacks learned tables."""
+        tables = self._exact_tables(model, seq_len)
+        if tables is None:
+            return None
+        wte, pos_tab, offset, emb_norm, (norm_scale, norm_bias) = tables
+
+        def build(slot_idx, token_idx):
+            p = np.asarray(slot_idx) % seq_len
+            x = wte[np.asarray(token_idx)] + pos_tab[p] + offset
+            if emb_norm is not None:
+                x = _layer_norm(x, emb_norm[0], emb_norm[1])
+            return _layer_norm(x, norm_scale, norm_bias)
+
+        return build
+
+    def _recover_collisions(self, model, ordered, recovered_tokens, slot_costs,
+                            leaked, shape, v):
+        """Decompose collided imprint bins into per-position tokens.
+
+        Two states landing between the same pair of cumulative thresholds leave
+        ONE bin difference holding their bias-weighted average (beyond the
+        reference, which backfills the raw collided row into the free position
+        and matches it as-is, analytic_attack.py:399-457). Measured on the
+        hf-bert 1x512 lab exchange, 481 of 512 bins fire and 31 positions share
+        rows. Here every group of positions holding the SAME row keeps its
+        best-explained slot, then greedily claims tokens for the remaining
+        slots from the residual after subtracting the fitted exact reference —
+        each accepted claim must beat cfg.collision_threshold (default 0.2;
+        skewed bias ratios bury the minority component below that). Claimed
+        slot costs are set to the residual correlation so the full-vocabulary
+        supplement only overrides genuinely weak claims."""
+        len_data, seq_len = shape
+        builder = self._exact_reference_builder(model, seq_len)
+        if builder is None:
+            return recovered_tokens, slot_costs
+        threshold = float(self.cfg.get("collision_threshold", 0.2) or 0.2)
+        cand = np.unique(np.concatenate([np.asarray(leaked).reshape(-1),
+                                         np.asarray(recovered_tokens)]))
+
+        groups: dict[bytes, list[int]] = {}
+        for slot in range(len(ordered)):
+            row = ordered[slot]
+            if not np.linalg.norm(row):
+                continue
+            groups.setdefault(np.asarray(row, np.float32).tobytes(), []).append(slot)
+        collided = [sorted(slots, key=lambda s: -slot_costs[s])
+                    for slots in groups.values() if len(slots) > 1]
+        if not collided:
+            return recovered_tokens, slot_costs
+
+        def _normed(a):
+            a = a - a.mean(axis=-1, keepdims=True)
+            return a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+
+        # one residual per collided row: subtract the primary slot's exact
+        # reference (post-supplement tokens — the cleanest explanation)
+        residuals, capacity = [], []
+        secondaries: list[int] = []
+        for slots in collided:
+            primary = slots[0]
+            state = _normed(np.asarray(ordered[primary], np.float64))
+            ref = _normed(builder([primary], [recovered_tokens[primary]])[:, v:-1])[0]
+            residuals.append(state - (state @ ref) * ref)
+            capacity.append(len(slots) - 1)
+            secondaries.extend(slots[1:])
+        residuals = _normed(np.stack(residuals))
+
+        # joint (secondary slot, candidate token) claim matrix: the duplicate
+        # row's backfilled position is a hint, not a constraint — any residual
+        # may claim any secondary slot, greedily by correlation
+        refs = np.concatenate([_normed(builder(np.full(len(cand), s), cand)[:, v:-1])
+                               for s in secondaries])          # (|U|*|C|, D)
+        corr = np.abs(residuals @ refs.T)                      # (G, |U|*|C|)
+        n_cand = len(cand)
+        claimed = 0
+        taken: set[int] = set()
+        flat_order = np.argsort(-corr, axis=None)
+        for flat in flat_order:
+            g, uc = divmod(int(flat), corr.shape[1])
+            if corr[g, uc] < threshold:
+                break
+            u, c = divmod(uc, n_cand)
+            slot = secondaries[u]
+            if slot in taken or capacity[g] <= 0:
+                continue
+            recovered_tokens[slot] = cand[c]
+            slot_costs[slot] = float(corr[g, uc])
+            taken.add(slot)
+            capacity[g] -= 1
+            claimed += 1
+        if claimed:
+            log.info(f"Collision recovery claimed {claimed} slots from "
+                     f"{len(collided)} collided rows.")
+        return recovered_tokens, slot_costs
+
+    def _exact_position_round(self, model, ordered, recovered_tokens,
+                              slot_costs, shape, v):
+        """One round of exact-reference position re-assignment.
+
+        Per sentence, re-match every non-empty row to a position by
+        |corr(row, build(position, row's current token))| assignment. Tokens
+        and costs travel with their rows; a moved row's cost becomes its
+        assignment correlation so the following exact supplement re-examines
+        it. Returns (any_row_moved, ordered, tokens, costs)."""
+        len_data, seq_len = shape
+        builder = self._exact_reference_builder(model, seq_len)
+        if builder is None:
+            return False, ordered, recovered_tokens, slot_costs
+        from scipy.optimize import linear_sum_assignment
+
+        def _normed(a):
+            a = a - a.mean(axis=-1, keepdims=True)
+            return a / np.maximum(np.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+
+        use_abs = "abs" in self.cfg.get("matcher", "abs-corrcoef")
+        moved = False
+        new_ordered = ordered.copy()
+        new_tokens = recovered_tokens.copy()
+        new_costs = slot_costs.copy()
+        all_pos = np.arange(seq_len)
+        for sentence in range(len_data):
+            block = slice(sentence * seq_len, (sentence + 1) * seq_len)
+            rows = ordered[block]
+            filled = np.nonzero(np.linalg.norm(rows, axis=-1) > 0)[0]
+            if len(filled) == 0:
+                continue
+            toks = recovered_tokens[block][filled]
+            rn = _normed(np.asarray(rows[filled], np.float64))
+            profit = np.zeros((len(filled), seq_len))
+            for i in range(len(filled)):
+                refs = _normed(builder(all_pos, np.full(seq_len, toks[i]))[:, v:-1])
+                corr = refs @ rn[i]
+                profit[i] = np.abs(corr) if use_abs else corr
+            r_idx, p_idx = linear_sum_assignment(-profit)
+            base = sentence * seq_len
+            blk_rows = np.zeros_like(rows)
+            # positions left rowless keep their previous token estimate
+            blk_toks = recovered_tokens[block].copy()
+            blk_costs = slot_costs[block].copy()
+            for r, p in zip(r_idx, p_idx):
+                blk_rows[p] = rows[filled[r]]
+                blk_toks[p] = toks[r]
+                old_p = filled[r]
+                if p != old_p:
+                    moved = True
+                    blk_costs[p] = profit[r, p]
+                else:
+                    blk_costs[p] = slot_costs[base + old_p]
+            new_ordered[block] = blk_rows
+            new_tokens[block] = blk_toks
+            new_costs[block] = blk_costs
+        return moved, new_ordered, new_tokens, new_costs
+
+    def _supplement_exact(self, recovered_tokens, costs, ordered, model,
+                          shape, v, weight):
+        """Full-vocabulary supplement against EXACT per-position references.
+
+        The additive matcher (_supplement_from_full_vocabulary) correlates the
+        position-decorrelated state with LN(wte) rows — a ~0.978-ceiling
+        approximation that blurs near-identical embedding rows. Composing each
+        slot's reference exactly — LN_first(embLN(wte + pos_slot [+ tte_0])),
+        the same function the forward pass applies — separates the true token
+        at correlation ~1.0 (hf-bert 1x512 lab exchange: 0.9004 -> measured
+        with this matcher below). One lax.scan step per slot re-reads the
+        embedding table from HBM and reduces to an argmax, so the full
+        (slots x vocab x hidden) sweep never materializes. Returns None when
+        raw tables are unavailable (caller falls back to the additive path)."""
+        len_data, seq_len = shape
+        tables = self._exact_tables(model, seq_len)
+        if tables is None:
+            return None
+        wte, pos_tab, offset, emb_norm, (norm_scale, norm_bias) = tables
+        slots = np.arange(len_data * seq_len) % seq_len
+        has_emb_norm = emb_norm is not None
+        e_scale = jnp.asarray(emb_norm[0] if has_emb_norm else norm_scale,
+                              jnp.float32)
+        e_bias = jnp.asarray(emb_norm[1] if has_emb_norm else norm_bias,
+                             jnp.float32)
+        best, best_val = _device_exact_vocab_match(
+            jnp.asarray(wte, jnp.float32),
+            jnp.asarray(pos_tab[slots] + offset, jnp.float32),
+            e_scale, e_bias,
+            jnp.asarray(norm_scale, jnp.float32),
+            jnp.asarray(norm_bias, jnp.float32),
+            jnp.asarray(ordered, jnp.float32),
+            int(v), "abs" in self.cfg.get("matcher", "abs-corrcoef"),
+            has_emb_norm)
+        best, best_val = np.asarray(best), np.asarray(best_val)
+        replace = best_val * max(weight, 1e-9) > costs
+        num_replaced = int(replace.sum())
+        if num_replaced:
+            log.info(f"Replaced {num_replaced} tokens from the full vocabulary "
+                     f"(exact refs, avg new corr {best_val[replace].mean():.2f}).")
+        costs[replace] = best_val[replace]
+        return np.where(replace, best + 1, recovered_tokens)
+
     def _supplement_from_full_vocabulary(self, recovered_tokens, costs, breached,
                                          embedding_table, norm_scale, norm_bias, v, weight):
         """Replace low-confidence slots by greedy full-vocabulary correlation
@@ -562,6 +841,43 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     mean = x.mean(axis=-1, keepdims=True)
     var = x.var(axis=-1, keepdims=True)
     return (x - mean) / np.sqrt(var + eps) * scale + bias
+
+
+@functools.partial(jax.jit, static_argnames=("v", "use_abs", "has_emb_norm"))
+def _device_exact_vocab_match(wte, pos_rows, e_scale, e_bias, n_scale, n_bias,
+                              states, v, use_abs, has_emb_norm):
+    """Per-slot exact-reference vocabulary matcher: scan over slots, each step
+    composes the full-vocab reference table for that slot's position —
+    LN_first(embLN(wte + pos_slot)) — and correlates it with the slot's raw
+    breached state (content slice). The (slots x vocab x hidden) tensor never
+    materializes; HBM traffic is one embedding-table read per slot. Row 0 is
+    skipped to mirror _device_vocab_match's +1 convention."""
+
+    def _ln(x, scale, bias):
+        mean = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        return (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+
+    with jax.default_matmul_precision("highest"):
+
+        def per_slot(_, inp):
+            pos_row, state = inp
+            x = wte + pos_row
+            if has_emb_norm:
+                x = _ln(x, e_scale, e_bias)
+            x = _ln(x, n_scale, n_bias)
+            refs = x[1:, v:-1]
+            b = refs - refs.mean(axis=1, keepdims=True)
+            b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-10)
+            a = state - state.mean()
+            a = a / jnp.maximum(jnp.linalg.norm(a), 1e-10)
+            corr = b @ a
+            score = jnp.abs(corr) if use_abs else corr
+            return None, (jnp.argmax(score), jnp.max(score))
+
+        _, (best, best_val) = jax.lax.scan(
+            per_slot, None, (pos_rows, states))
+        return best, best_val
 
 
 @functools.partial(jax.jit, static_argnames=("v", "use_abs"))

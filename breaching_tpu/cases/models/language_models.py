@@ -324,6 +324,7 @@ def _bert_registry(nlayers):
     return dict(
         embedding=("bert", "embeddings", "word_embeddings", "embedding"),
         pos_embedding=("bert", "embeddings", "position_embeddings", "embedding"),
+        type_embedding=("bert", "embeddings", "token_type_embeddings", "embedding"),
         decoder_bias=("cls", "predictions", "bias"),
         attention_qkv=[dict(query=l(i, "attention", "self", "query"),
                             key=l(i, "attention", "self", "key"),
@@ -348,6 +349,7 @@ def _roberta_registry(nlayers):
     return dict(
         embedding=("roberta", "embeddings", "word_embeddings", "embedding"),
         pos_embedding=("roberta", "embeddings", "position_embeddings", "embedding"),
+        type_embedding=("roberta", "embeddings", "token_type_embeddings", "embedding"),
         decoder_bias=("lm_head", "bias"),
         attention_qkv=[dict(query=l(i, "attention", "self", "query"),
                             key=l(i, "attention", "self", "key"),

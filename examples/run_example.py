@@ -159,7 +159,13 @@ EXAMPLES = {
         # (positional acc 0.8965 vs 0.8828 on the cached 1x512 lab exchange);
         # BERT's untied embeddings take the sparsity branch, and the MLM-head
         # bias that mixed relies on only sees the 15% supervised positions
-        "attack.token_strategy=embedding-norm", "attack.embedding_token_weight=0.25"],
+        "attack.token_strategy=embedding-norm",
+        # exact-reference matching stack (see decepticon_attack.py): composed
+        # LN(embLN(wte+pos+tte)) references sharpen the full-vocab supplement,
+        # enable collided-bin decomposition, and drive position/token
+        # alternation — measured on the cached 1x512 lab exchange
+        "attack.exact_supplement=True", "attack.collision_recovery=True",
+        "attack.embedding_token_weight=0.8"],
     # text imprints (reference wikitext notebooks: 128 sentences x 32 tokens)
     "robbing_the_fed_text": [
         "case=10_causal_lang_training", "attack=imprint",
