@@ -54,14 +54,16 @@ TPU_PEAKS = {
 def _mfu_detail(cost, steps_per_sec, device_kind):
     """FLOP/s + %-of-peak from the compiled chunk's XLA cost model.
 
-    `cost` counts the WHOLE chunk program (chunk_length scan steps, all
-    vmapped trials); `steps_per_sec` is scan steps/s of that same program, so
-    achieved = flops_per_step * steps_per_sec regardless of fleet size.
+    XLA's cost_analysis() counts a `lax.scan` body ONCE regardless of trip
+    count (pinned by tests/test_bench_cost.py), so `cost` is already per scan
+    step (all vmapped trials of it); `steps_per_sec` is scan steps/s of the
+    same program, so achieved = cost["flops"] * steps_per_sec regardless of
+    fleet size.
     """
     if not cost or not cost.get("flops"):
         return {}
-    per_step_flops = cost["flops"] / cost["chunk_length"]
-    per_step_bytes = cost["bytes_accessed"] / cost["chunk_length"]
+    per_step_flops = cost["flops"]
+    per_step_bytes = cost["bytes_accessed"]
     tflops = per_step_flops * steps_per_sec / 1e12
     hbm_gbps = per_step_bytes * steps_per_sec / 1e9
     out = {"tflops_per_sec": round(tflops, 2),

@@ -756,9 +756,12 @@ class DecepticonAttacker(AnalyticAttacker):
             r_idx, p_idx = linear_sum_assignment(-profit)
             base = sentence * seq_len
             blk_rows = np.zeros_like(rows)
-            # positions left rowless keep their previous token estimate
+            # positions left rowless keep their previous token estimate, but
+            # their confidence resets to -inf: a slot whose row moved away must
+            # not retain the moved row's (possibly high) cost, or the exact
+            # supplement skips re-estimating it and duplicates the token there
             blk_toks = recovered_tokens[block].copy()
-            blk_costs = slot_costs[block].copy()
+            blk_costs = np.full_like(slot_costs[block], -np.inf)
             for r, p in zip(r_idx, p_idx):
                 blk_rows[p] = rows[filled[r]]
                 blk_toks[p] = toks[r]

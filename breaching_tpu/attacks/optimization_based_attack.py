@@ -165,10 +165,30 @@ class OptimizationBasedAttacker(_BaseAttacker):
             self._fleet_extra = ()
             self.cfg.restarts.num_trials = original_trials
 
+        if trials_per > 1:
+            # Select each experiment's trial with the configured
+            # restarts.scoring objective, exactly like the solo path
+            # (reference optimization_based_attack.py:191-218) — argmin over
+            # best_vals would ignore cfg.restarts.scoring. Scored against each
+            # trial's OWN target gradient/labels, re-stacked here because the
+            # first stack was donated into the chunk runner.
+            score_targets = jax.tree_util.tree_map(
+                lambda *xs: jnp.repeat(jnp.stack(xs), trials_per, axis=0),
+                *all_targets)
+            score_labels = jnp.repeat(jnp.stack(all_labels), trials_per, axis=0)
+            scores = self._score_all_trials(
+                best_trees, all_labels[0], rec_models, self._shared_data_cache,
+                fleet_targets=score_targets, fleet_labels=score_labels)
+        else:
+            # one trial per experiment: selection is trivial and scoring would
+            # only add a compile to the benchmark path
+            scores = np.asarray(best_vals)
         results = []
+        stats["fleet_opt_values"] = []
         for i in range(n):
             block = slice(i * trials_per, (i + 1) * trials_per)
-            j = i * trials_per + int(np.argmin(best_vals[block]))
+            j = i * trials_per + int(np.argmin(scores[block]))
+            stats["fleet_opt_values"].append(float(scores[j]))
             tree = jax.tree_util.tree_map(lambda x: jnp.asarray(x[j]), best_trees)
             results.append(self._extract_solution(tree, all_labels[i]))
         return results, stats
@@ -606,10 +626,13 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
         Re-lowers the steady-state chunk runner on abstract arg structs — a
         compile-cache hit when shapes match the run that populated it — and
-        returns the optimized-HLO FLOP/byte counts plus the chunk geometry
-        needed to normalize them (flops are for the WHOLE chunk program:
-        `chunk_length` scan steps x `trials` vmapped streams). Returns None
-        before any reconstruct() call or if the backend lacks cost analysis.
+        returns the optimized-HLO FLOP/byte counts plus the chunk geometry.
+        NOTE: XLA's cost_analysis() counts a `lax.scan` body ONCE regardless
+        of trip count (convention pinned by tests/test_bench_cost.py), so the
+        returned flops/bytes are per SCAN STEP (covering all `trials` vmapped
+        streams of that step), NOT for the whole `chunk_length`-step program.
+        Returns None before any reconstruct() call or if the backend lacks
+        cost analysis.
         """
         probe = getattr(self, "_cost_probe", None)
         if probe is None:
@@ -693,7 +716,13 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
     # ------------------------------------------------------------------ scoring
 
-    def _score_all_trials(self, best_trees, labels, rec_models, shared_data):
+    def _score_all_trials(self, best_trees, labels, rec_models, shared_data,
+                          fleet_targets=None, fleet_labels=None):
+        """Score every trial with cfg.restarts.scoring (reference
+        optimization_based_attack.py:191-218). Solo: all trials share one
+        target gradient + label set. Fleet (`fleet_targets`/`fleet_labels`
+        given, leading axis = trials): each trial scores against its own
+        stacked target/labels; single-query only."""
         scoring = self.cfg.restarts.scoring
         if scoring in ("euclidean", "cosine-similarity"):
             objective = Euclidean() if scoring == "euclidean" else CosineSimilarity()
@@ -704,6 +733,23 @@ class OptimizationBasedAttacker(_BaseAttacker):
             objective.initialize(self.loss_fn, rec_models[0], local_hp, self.cfg.impl)
 
             bn_train = bool(getattr(rec_models[0], "bn_train", False))
+
+            if fleet_targets is not None:
+                def score_fleet(candidate_tree, grads, lbls, consts):
+                    eff_labels = self._effective_labels(candidate_tree, lbls)
+                    obj, _, _ = objective(consts["params"][0], consts["buffers"][0],
+                                          grads, candidate_tree["data"], eff_labels,
+                                          bn_train=bn_train)
+                    return obj
+
+                score_consts = jax.tree_util.tree_map(jnp.asarray, dict(
+                    params=(rec_models[0].params,),
+                    buffers=(rec_models[0].buffers or {},)))
+                scores = np.asarray(
+                    jax.jit(jax.vmap(score_fleet, in_axes=(0, 0, 0, None)))(
+                        jax.tree_util.tree_map(jnp.asarray, best_trees),
+                        fleet_targets, fleet_labels, score_consts))
+                return np.where(np.isfinite(scores), scores, np.inf)
 
             def score_one(candidate_tree, consts):
                 # params/grads as jit args, not baked constants (413 limit)

@@ -93,7 +93,7 @@ class TextDataset:
         self.task = cfg_data.task
         self.mlm_probability = float(cfg_data.get("mlm_probability", 0.15) or 0.15)
 
-        self._raw = self._load_real(cfg_data, split)
+        self._raw, self._raw_labels = self._load_real(cfg_data, split)
         if self._raw is not None:
             self._size = len(self._raw)
         else:
@@ -102,19 +102,24 @@ class TextDataset:
 
     @staticmethod
     def _load_real(cfg_data, split):
+        """Returns (input_ids, labels-or-None); decoded ONCE — __getitem__
+        indexes the in-memory arrays (a per-sample np.load of the npz costs a
+        zip open + full decompress on this 1-core host)."""
         path = os.path.expanduser(os.path.join(str(cfg_data.path), f"{cfg_data.name}_{split}.npz"))
         if os.path.exists(path):
-            return np.load(path)["input_ids"]
-        return None
+            z = np.load(path)
+            labels = z["labels"] if "labels" in z.files else None
+            return z["input_ids"], labels
+        return None, None
 
     def _real_class_label(self, gidx: int):
-        """Sequence-level class label from the on-disk npz, if it ships one."""
-        path = os.path.expanduser(os.path.join(
-            str(self.cfg.path), f"{self.name}_{self.split}.npz"))
-        if os.path.exists(path):
-            z = np.load(path)
-            if "labels" in z.files:
-                return np.int64(z["labels"][gidx])
+        """Sequence-level class label from the on-disk npz, if it ships one.
+
+        Only meaningful for datasets whose _raw came from _load_real — for
+        from_input_ids wrappers (in-memory TFF client shards) _raw_labels is
+        None, so an unrelated same-named npz can never mispair labels."""
+        if self._raw_labels is not None:
+            return np.int64(self._raw_labels[gidx])
         return None
 
     def __len__(self):
@@ -188,6 +193,7 @@ class TextDataset:
         self.task = cfg_data.task
         self.mlm_probability = float(cfg_data.get("mlm_probability", 0.15) or 0.15)
         self._raw = np.asarray(input_ids, np.int64)
+        self._raw_labels = None
         self._size = len(self._raw)
         self.indices = np.arange(self._size)
         return self

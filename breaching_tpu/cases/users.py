@@ -389,16 +389,35 @@ class MultiUserAggregate(UserMultiStep):
         return super().__repr__() + f"\n    Aggregating over {self.num_users} users."
 
     def compute_local_updates(self, server_payload, custom_data=None):
+        """Aggregate per-user updates under reference threat-model semantics
+        (reference users.py:463-533):
+
+        - `num_data_points` is PER USER; every sub-user computes on the full
+          configured count and the shared metadata reports
+          `num_data_points * num_users` (reference users.py:510).
+        - single-step silos (num_local_updates == 1) aggregate plain fedSGD
+          gradients via UserSingleStep sub-users; multi-step silos aggregate
+          fedAVG parameter deltas (reference users.py:448-453).
+        - under provide_labels the silo shares `sort(concat(labels))`
+          (reference users.py:511); under provide_local_hyperparams it shares
+          the concatenation of every user's per-step label lists (reference
+          users.py:502-504, 512-519); `num_users` is always shared
+          (reference users.py:512).
+        """
         self.counted_queries += 1
         aggregate = None
         aggregate_buffers = None
         all_data, all_labels = [], []
-        per_user_points = max(self.num_data_points // self.num_users, 1)
+        agg_label_lists = []
+        single_step = self.num_local_updates == 1
 
         for user_pos, (idx, loader) in enumerate(zip(self.user_indices, self.dataloaders)):
-            sub_user = UserMultiStep(self.model, self.loss, loader, self.setup, idx, self.cfg)
-            sub_user.num_data_points = per_user_points
-            sub_user._multi_fn_cache = self._multi_fn_cache  # share compiled update
+            if single_step:
+                sub_user = UserSingleStep(self.model, self.loss, loader, self.setup, idx, self.cfg)
+                sub_user._update_fn_cache = self._update_fn_cache  # share compiled update
+            else:
+                sub_user = UserMultiStep(self.model, self.loss, loader, self.setup, idx, self.cfg)
+                sub_user._multi_fn_cache = self._multi_fn_cache  # share compiled update
             shared, true = sub_user.compute_local_updates(server_payload)
             weight = 1.0 / (user_pos + 1)
             if aggregate is None:
@@ -410,20 +429,31 @@ class MultiUserAggregate(UserMultiStep):
                 if aggregate_buffers is not None and shared["buffers"] is not None:
                     aggregate_buffers = jax.tree_util.tree_map(
                         lambda acc, b: acc + (b - acc) * weight, aggregate_buffers, shared["buffers"])
+            local_hp = shared["metadata"].get("local_hyperparams")
+            if local_hp is not None and local_hp.get("labels") is not None:
+                agg_label_lists.extend(local_hp["labels"])
             all_data.append(true["data"])
             all_labels.append(true["labels"])
             self.data_key = sub_user.data_key
 
+        all_labels = jnp.concatenate(all_labels)
         metadata = dict(
-            num_data_points=self.num_data_points if self.provide_num_data_points else None,
-            labels=None,
-            local_hyperparams=None,
+            num_data_points=(self.num_data_points * self.num_users
+                             if self.provide_num_data_points else None),
+            labels=jnp.sort(all_labels) if self.provide_labels else None,
+            num_users=self.num_users,
+            local_hyperparams=dict(
+                lr=self.local_learning_rate,
+                steps=self.num_local_updates,
+                data_per_step=self.num_data_per_local_update_step,
+                labels=agg_label_lists,
+            ) if self.provide_local_hyperparams else None,
             data_key=self.data_key,
         )
         shared_data = dict(gradients=aggregate, buffers=aggregate_buffers, metadata=metadata)
         true_user_data = dict(
-            data=jnp.concatenate(all_data)[: self.num_data_points],
-            labels=jnp.concatenate(all_labels)[: self.num_data_points],
+            data=jnp.concatenate(all_data),
+            labels=all_labels,
             buffers=aggregate_buffers,
         )
         return shared_data, true_user_data

@@ -83,7 +83,7 @@ def harvest(name):
 RESULTS_DIR = "results"  # git-tracked evidence (outputs/ is gitignored)
 
 
-def publish(name, dt=None):
+def publish(name):
     """Copy a setting's metrics yaml + log tail into the tracked results/ dir
     so every PARITY.md number is traceable to a committed artifact."""
     os.makedirs(os.path.join(RESULTS_DIR, "metrics"), exist_ok=True)

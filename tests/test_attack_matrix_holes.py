@@ -57,12 +57,16 @@ def test_permutation_attack_recovers_token_order():
 
 
 def test_multiuser_aggregate_case8_path():
+    """Case-8 silo with reference threat-model metadata (reference
+    users.py:505-521): num_data_points is PER USER and the metadata reports
+    per_user * num_users; provide_labels shares sort(concat(labels));
+    num_users is always shared; the attack consumes the shared labels."""
     cfg = breaching.get_config([
         "case=8_industry_scale_fl", "attack=invertinggradients",
         "case/data=CIFAR10", "case.model=ConvNetSmall16",
         "case.data.shape=[3, 16, 16]", "case.data.default_clients=16",
-        "case.user.user_range=[0, 4]", "case.user.num_data_points=4",
-        "case.user.provide_labels=False",
+        "case.user.user_range=[0, 2]", "case.user.num_data_points=2",
+        "case.user.provide_labels=True",
         "attack.optim.max_iterations=4", "attack.optim.callback=2",
         "seed=2",
     ])
@@ -70,11 +74,69 @@ def test_multiuser_aggregate_case8_path():
     user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
     assert type(user).__name__ == "MultiUserAggregate"
     shared, payloads, true_data = server.run_protocol(user)
+
+    meta = shared[0]["metadata"] if isinstance(shared, list) else shared["metadata"]
+    assert meta["num_data_points"] == 4  # 2 per user x 2 users
+    assert meta["num_users"] == 2
+    shared_labels = np.asarray(meta["labels"])
+    assert shared_labels.shape == (4,)
+    assert (np.diff(shared_labels) >= 0).all()  # sort(concat(labels))
+    true_sorted = np.sort(np.asarray(true_data["labels"]))
+    assert (shared_labels == true_sorted).all()
+    assert true_data["data"].shape[0] == 4  # per-user points are not divided
+
     attacker = breaching.attacks.prepare_attack(server.model, server.loss,
                                                 cfg.attack, setup)
     rec, stats = attacker.reconstruct(payloads, shared, server.secrets)
     assert np.isfinite(np.asarray(rec["data"])).all()
     assert rec["data"].shape[0] == 4
+    # the attack path consumed the silo's shared labels verbatim
+    assert (np.sort(np.asarray(rec["labels"])) == true_sorted).all()
     metrics = breaching.analysis.report(rec, true_data, payloads, server.model,
                                         cfg_case=cfg.case, setup=setup)
     assert np.isfinite(metrics["mse"])
+
+
+def test_multiuser_aggregate_hyperparam_and_singlestep_semantics():
+    """num_local_updates=1 silos aggregate plain fedSGD gradients via
+    UserSingleStep sub-users (reference users.py:448-453) — the aggregate
+    equals the mean of the per-user single-step gradients; multi-step silos
+    share aggregated per-step label lists under provide_local_hyperparams
+    (reference users.py:502-519)."""
+    overrides = [
+        "case=8_industry_scale_fl", "attack=invertinggradients",
+        "case/data=CIFAR10", "case.model=ConvNetSmall16",
+        "case.data.shape=[3, 16, 16]", "case.data.default_clients=16",
+        "case.user.user_range=[0, 2]", "case.user.num_data_points=2",
+        "case.user.provide_labels=True", "seed=3",
+    ]
+    cfg = breaching.get_config(overrides)
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    shared, payloads, _ = server.run_protocol(user)
+    agg = shared[0]["gradients"] if isinstance(shared, list) else shared["gradients"]
+
+    # reproduce by hand: mean of the two sub-users' fedSGD gradients
+    from breaching_tpu.cases.users import UserSingleStep
+    subs = []
+    for idx, loader in zip(user.user_indices, user.dataloaders):
+        su = UserSingleStep(user.model, user.loss, loader, setup, idx, cfg.case.user)
+        sub_shared, _ = su.compute_local_updates(payloads[0])
+        subs.append(sub_shared["gradients"])
+    mean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *subs)
+    for a, b in zip(jax.tree_util.tree_leaves(agg), jax.tree_util.tree_leaves(mean)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # multi-step silo: aggregated per-step label lists travel in metadata
+    cfg2 = breaching.get_config(overrides + [
+        "case.user.num_local_updates=2", "case.user.num_data_per_local_update_step=2",
+        "case.user.provide_local_hyperparams=True",
+    ])
+    setup2 = breaching.utils.system_startup(cfg=cfg2)
+    user2, server2, _, _ = breaching.cases.construct_case(cfg2.case, setup2)
+    shared2, _, _ = server2.run_protocol(user2)
+    meta2 = shared2[0]["metadata"] if isinstance(shared2, list) else shared2["metadata"]
+    hp = meta2["local_hyperparams"]
+    assert hp is not None and hp["steps"] == 2
+    assert len(hp["labels"]) == 2 * 2  # 2 steps x 2 users
+    assert all(np.asarray(l).shape == (2,) for l in hp["labels"])

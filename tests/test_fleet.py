@@ -106,3 +106,63 @@ def test_fleet_rejects_diverging_model_parameters():
                                                 cfg.attack, setup)
     with pytest.raises(ValueError, match="identical model parameters"):
         attacker.reconstruct_fleet(payload_lists, shared_lists)
+
+
+def test_fleet_restart_selection_uses_configured_scoring():
+    """Fleet selection must apply cfg.restarts.scoring per experiment block,
+    exactly like the solo path (reference optimization_based_attack.py:191-218)
+    — not argmin(best_vals). Captures the fleet's trial blocks and re-scores
+    each with the solo scoring path; the fleet's returned reconstruction must
+    be the solo-selected trial of its own block."""
+    import jax
+
+    cfg = breaching.get_config([
+        "case=1_single_image_small", "attack=invertinggradients",
+        "case.model=ConvNetSmall16", "case.data.shape=[3, 16, 16]",
+        "case.user.provide_labels=True", "case.user.num_data_points=1",
+        "attack.optim.max_iterations=60", "attack.optim.callback=30",
+        "attack.restarts.num_trials=2", "attack.restarts.scoring=euclidean",
+        "seed=8",
+    ])
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    payload_lists, shared_lists = [], []
+    for user_idx in range(2):
+        cfg.case.user.user_idx = user_idx
+        user = breaching.cases.construct_user(model, server.loss, cfg.case, setup)
+        shared, payloads, _ = server.run_protocol(user)
+        payload_lists.append(payloads)
+        shared_lists.append(shared)
+    attacker = breaching.attacks.prepare_attack(server.model, server.loss,
+                                                cfg.attack, setup)
+
+    captured = {}
+    orig_run = attacker._run_all_trials
+
+    def spy(*args, **kwargs):
+        out = orig_run(*args, **kwargs)
+        captured["best_trees"] = out[0]
+        return out
+
+    attacker._run_all_trials = spy
+    results, stats = attacker.reconstruct_fleet(payload_lists, shared_lists)
+    attacker._run_all_trials = orig_run
+
+    assert "fleet_opt_values" in stats and len(stats["fleet_opt_values"]) == 2
+    trees = captured["best_trees"]
+    for i in range(2):
+        block = jax.tree_util.tree_map(lambda x: x[2 * i:2 * i + 2], trees)
+        # solo scoring of this experiment's block, on its own target gradient
+        rec_models_i, labels_i, _ = attacker.prepare_attack(
+            payload_lists[i], shared_lists[i])
+        scores = attacker._score_all_trials(
+            block, labels_i, rec_models_i, attacker._shared_data_cache)
+        j = int(np.argmin(scores))
+        np.testing.assert_allclose(
+            np.asarray(results[i]["data"]),
+            np.asarray(block["data"][j]), rtol=1e-6, atol=1e-7)
+        assert stats["fleet_opt_values"][i] == pytest.approx(
+            float(scores[j]), rel=1e-4)
+
+
+import pytest  # noqa: E402  (used by the scoring test above)
