@@ -96,7 +96,13 @@ def main():
     # --- the 8-experiment wave (users 0..7 of the benchmark case) ---
     # ONE case (one server, one model) like the reference benchmark loop
     # (reference benchmark_breaches.py:62-77): every user's gradient is taken
-    # against the SAME weights, which is what fleet batching requires
+    # against the SAME weights, which is what fleet batching requires.
+    # The fleet runs f32: measured (r5), bf16 does NOT help the fleet
+    # (383.8 bf16 vs 389.5 f32 it/s at fleet_cost hbm_util 64% / mfu 9% — the
+    # batched wave is occupancy-bound, not HBM-bound) and its conv
+    # double-backward costs ~20 min of remote compile. The SOLO loop is
+    # HBM-bound (solo_cost: ~88% HBM util) and bf16 wins there (+5.5%, equal
+    # PSNR) — reported below as bf16_iters_per_sec / bf16_psnr.
     user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
     payload_lists, shared_lists, truths = [], [], []
     for user_idx in range(FLEET):
@@ -120,7 +126,7 @@ def main():
                                             cfg_case=cfg.case, setup=setup)
         psnrs.append(round(float(metrics["psnr"]), 2))
 
-    # --- solo stream (the reference's exact per-experiment setting) ---
+    # --- solo stream, f32 (the reference's exact per-experiment setting) ---
     cfg2 = breaching.get_config(overrides)
     setup2 = breaching.utils.system_startup(cfg=cfg2)
     user2, server2, _, _ = breaching.cases.construct_case(cfg2.case, setup2)
@@ -131,6 +137,18 @@ def main():
     solo_rate, _ = _steady_rate(stats2)
     metrics2 = breaching.analysis.report(rec2, true2, payloads2, server2.model,
                                          cfg_case=cfg2.case, setup=setup2)
+
+    # --- solo stream, bf16 (the headline's dtype, PSNR parity check) ---
+    cfg5 = breaching.get_config(overrides + ["attack.impl.dtype=bfloat16"])
+    setup5 = breaching.utils.system_startup(cfg=cfg5)
+    user5, server5, _, _ = breaching.cases.construct_case(cfg5.case, setup5)
+    attacker5 = breaching.attacks.prepare_attack(server5.model, server5.loss,
+                                                 cfg5.attack, setup5)
+    shared5, payloads5, true5 = server5.run_protocol(user5)
+    rec5, stats5 = attacker5.reconstruct(payloads5, shared5, server5.secrets)
+    bf16_rate, _ = _steady_rate(stats5)
+    metrics5 = breaching.analysis.report(rec5, true5, payloads5, server5.model,
+                                         cfg_case=cfg5.case, setup=setup5)
 
     # --- MFU accounting (XLA cost model of the compiled chunks) ---
     import jax
@@ -176,6 +194,7 @@ def main():
         "vs_baseline": round(fleet_rate / BASELINE_ITERS_PER_SEC, 2),
         "detail": {
             "fleet_size": FLEET,
+            "fleet_dtype": "float32",
             "fleet_wall_s": round(fleet_wall, 2),
             "measured_iters_per_stream": measured,
             "psnr_at_bench_iters": round(float(metrics2["psnr"]), 2),
@@ -184,6 +203,9 @@ def main():
             "fleet_psnr_mean": round(sum(psnrs) / len(psnrs), 2),
             "single_stream_iters_per_sec": round(solo_rate, 2),
             "single_stream_vs_baseline": round(solo_rate / BASELINE_ITERS_PER_SEC, 2),
+            "bf16_iters_per_sec": round(bf16_rate, 2),
+            "bf16_vs_baseline": round(bf16_rate / BASELINE_ITERS_PER_SEC, 2),
+            "bf16_psnr": round(float(metrics5["psnr"]), 2),
             "convnet_cifar_iters_per_sec": round(small_rate, 1),
             "device_kind": device_kind,
             "solo_cost": solo_mfu,

@@ -46,7 +46,7 @@ def report(reconstructed_user_data, true_user_data, server_payload, model,
     else:
         log.info(
             f"METRICS: | Accuracy: {test_metrics['accuracy']:2.4f} | "
-            f"S-BLEU: {test_metrics.get('sacrebleu', float('nan')):4.2f} | "
+            f"S-BLEU (local): {test_metrics.get('sacrebleu', float('nan')):4.2f} | "
             f"Token Acc: {test_metrics.get('token_acc', float('nan')):2.2%} | "
             f"Label Acc: {test_metrics['label_acc']:2.2%}")
     return test_metrics

@@ -120,6 +120,10 @@ def run_text_metrics(rec_data, true_data, server_payload, model, order_batch=Tru
         token_acc=fcorr_acc,
         bleu=bleu(list(rec), list(ref)),
         google_bleu=bleu(list(rec), list(ref), max_n=4, smooth=True),
+        # HONEST LABEL: this is the local BLEU x 100 (sacrebleu's 0-100 scale)
+        # computed on token ids, NOT the sacrebleu package with its own
+        # tokenization (a network dependency). Key kept for reference-name
+        # parity; report() prints it as "S-BLEU (local)".
         sacrebleu=100 * bleu(list(rec), list(ref)),
         rouge1=rouge_n(list(rec), list(ref), 1),
         rouge2=rouge_n(list(rec), list(ref), 2),

@@ -68,6 +68,13 @@ class GradientLoss:
         dt = str((cfg_impl or {}).get("dtype", "float") if cfg_impl else "float")
         self.compute_dtype = jnp.bfloat16 if dt in ("bfloat16", "bf16") else (
             jnp.float16 if dt in ("float16", "fp16") else None)
+        # attack.impl.sharding="batch": the candidate batch is sharded over the
+        # mesh's 'model' axis inside shard_map; each device computes its
+        # micro-batch's task gradient and this axis pmean reconstitutes the
+        # exact full-batch user gradient (the task loss is a batch MEAN, and
+        # shards are equal-sized) before the matching distance. Set by
+        # OptimizationBasedAttacker._shard_attack_state, read at trace time.
+        self.shard_axis = None
 
     def _cast_tree(self, tree):
         if self.compute_dtype is None or tree is None:
@@ -139,7 +146,11 @@ class GradientLoss:
                 (loss_sum, grad_sum), _ = jax.lax.scan(
                     accumulate, zero, (chunks, label_chunks))
                 grads = jax.tree_util.tree_map(lambda g: g / accum, grad_sum)
-                return grads, loss_sum / accum, {}
+                task_loss = loss_sum / accum
+                if self.shard_axis is not None:
+                    grads = jax.lax.pmean(grads, self.shard_axis)
+                    task_loss = jax.lax.pmean(task_loss, self.shard_axis)
+                return grads, task_loss, {}
 
             def task_loss_fn(p):
                 outputs, aux = self.model.apply(p, buffers_c, cast_candidate,
@@ -147,6 +158,11 @@ class GradientLoss:
                 # loss always in f32: logits are tiny, log-softmax is not
                 return self.loss_fn(outputs.astype(jnp.float32), labels), aux
             (task_loss, aux), grads = jax.value_and_grad(task_loss_fn, has_aux=True)(params_c)
+            if self.shard_axis is not None:
+                # batch-sharded SPMD (see initialize): mean-of-local-means over
+                # equal shards == the full-batch mean gradient, exactly
+                grads = jax.lax.pmean(grads, self.shard_axis)
+                task_loss = jax.lax.pmean(task_loss, self.shard_axis)
             return grads, task_loss, aux.get("intermediates", {})
 
         if self.cfg_impl is not None and int(self.cfg_impl.get("grad_accum", 1) or 1) > 1:
@@ -346,9 +362,12 @@ class PearlmutterCosine(GradientLoss):
 
 class FusedCosineSimilarity(CosineSimilarity):
     """Cosine matching through the single-pass Pallas reduction kernel
-    (breaching_tpu/ops/matching.py): the gradient pytree is raveled once and the
-    dot/norm sums + their VJP each touch HBM exactly once. Measured 1.65x faster
-    than the XLA reduction at ResNet-18 gradient sizes on v5e."""
+    (breaching_tpu/ops/matching.py). The kernel beats XLA's STANDALONE 3-pass
+    reduction 1.65x in isolation, but END-TO-END the plain objective wins
+    (BENCH_r04: 178.5 vs 304.7 it/s) — XLA fuses the matching reductions into
+    the conv-backward epilogues, while this path pays a per-iteration
+    pytree-concatenate plus a pallas_call fusion boundary. Kept as a tested
+    opt-in alternative; the XLA path is the default."""
 
     def gradient_based_loss(self, grads, target_grads):
         from ...ops import fused_cosine_similarity

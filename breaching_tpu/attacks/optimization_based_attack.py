@@ -275,7 +275,11 @@ class OptimizationBasedAttacker(_BaseAttacker):
                 trial_grads_list, eff_labels = (extra[0],), extra[1]
             else:
                 trial_grads_list = consts["grads"] if consts is not None else grads_list
-                eff_labels = self._effective_labels(candidate_tree, labels)
+                # labels travel in consts so sharding modes can shard them
+                # alongside the candidate batch (attack.impl.sharding="batch")
+                base_labels = (consts["labels"] if consts is not None
+                               and consts.get("labels") is not None else labels)
+                eff_labels = self._effective_labels(candidate_tree, base_labels)
             total = jnp.zeros((), candidate.dtype)
             task_total = jnp.zeros((), candidate.dtype)
             intermediates = []
@@ -298,7 +302,13 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
         matching_loss.outer_reg_value = outer_reg_value if outer_regs else None
         matching_loss.consts = dict(params=params_list, buffers=buffers_list,
-                                    grads=grads_list)
+                                    grads=grads_list,
+                                    labels=(jnp.asarray(labels)
+                                            if labels is not None else None))
+        matching_loss.meta = dict(bn_train=bn_train, need_capture=need_capture,
+                                  has_outer_regs=bool(outer_regs),
+                                  reg_names=tuple(type(r).__name__
+                                                  for r in self.regularizers))
         return matching_loss
 
     # ------------------------------------------------------------------ core loop
@@ -344,6 +354,7 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
             total_loss.outer_reg_value = getattr(base_loss, "outer_reg_value", None)
             total_loss.consts = {}
+            total_loss.meta = {}
         optimizer, needs_value_fn = optimizer_lookup(
             cfg_optim.optimizer, float(cfg_optim.step_size),
             scheduler=cfg_optim.step_size_decay, warmup=int(cfg_optim.warmup or 0),
@@ -374,7 +385,13 @@ class OptimizationBasedAttacker(_BaseAttacker):
                         grad.shape, grad.dtype)
                     grad = grad + langevin * lr_now * noise
                 if grad_clip is not None:
-                    norm = jnp.sqrt(jnp.sum(jnp.square(grad)))
+                    sq = jnp.sum(jnp.square(grad))
+                    sh = getattr(self, "_attack_shardings", None)
+                    if sh and sh.get("mode") == "batch":
+                        # the candidate gradient is batch-sharded: the clip
+                        # norm is over the FULL per-trial tensor
+                        sq = jax.lax.psum(sq, "model")
+                    norm = jnp.sqrt(sq)
                     factor = jnp.where(norm > grad_clip, grad_clip / (norm + 1e-6), 1.0)
                     grad = grad * factor
                 if signed in ("soft",):
@@ -387,6 +404,20 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
         value_and_grad = jax.value_and_grad(total_loss, has_aux=True)
         outer_reg_value = getattr(total_loss, "outer_reg_value", None)
+        if outer_reg_value is not None:
+            base_outer_reg = outer_reg_value
+
+            def outer_reg_value(candidate_tree):  # noqa: F811
+                v = base_outer_reg(candidate_tree)
+                sh = getattr(self, "_attack_shardings", None)
+                if sh and sh.get("mode") == "batch":
+                    # candidate-only regularizers are batch MEANS (TV/Norm):
+                    # pmean of equal-shard local means == the full-batch value,
+                    # and pmean's VJP scales the cotangent by 1/m — exactly the
+                    # solo gradient of the global mean w.r.t. the local shard
+                    v = jax.lax.pmean(v, "model")
+                return v
+
         outer_vg = jax.value_and_grad(outer_reg_value) if outer_reg_value else None
 
         needs_aug_key = bool(self.augmentations) or langevin > 0
@@ -456,25 +487,21 @@ class OptimizationBasedAttacker(_BaseAttacker):
                 vmapped = jax.vmap(lambda c, s, k: run_chunk_single(c, s, length, k),
                                    in_axes=(0, None, None))
                 sharding = getattr(self, "_attack_shardings", None)
-                if sharding and sharding["mode"] == "restarts":
-                    # trials axis via shard_map: every device runs the UNCHANGED
-                    # single-device chunk program on its own slice of the trials
-                    # batch — no GSPMD partitioning of the conv double-backward
-                    # (the partitioner produces numerically WRONG values for
-                    # batch-sharded conv backward on some backends; verified
-                    # against solo to ~1e-6 this way, tests/test_parallel.py)
-                    from jax.sharding import PartitionSpec as P
-
+                if sharding and sharding["mode"] in ("restarts", "batch"):
+                    # shard_map, not GSPMD: every device runs the UNCHANGED
+                    # single-device chunk program on its own slice — of the
+                    # trials batch ("restarts"), or of trials x candidate batch
+                    # ("batch", where the objective pmeans its task gradient
+                    # over 'model' to reconstitute the exact full-batch user
+                    # gradient). The GSPMD partitioner produces numerically
+                    # WRONG values for batch-sharded conv backward on some
+                    # backends; shard_map matches solo to ~1e-6
+                    # (tests/test_parallel.py, dryrun_multichip).
                     shmap = getattr(jax, "shard_map", None)
                     if shmap is None:  # older jax
                         from jax.experimental.shard_map import shard_map as shmap
-                    trials_spec, none_spec = P("restarts"), P()
-                    carry_specs = jax.tree_util.tree_map(
-                        lambda _: trials_spec, sharding["carry_struct"])
-                    consts_specs = jax.tree_util.tree_map(
-                        lambda _: none_spec, loss_consts)
-                    specs = dict(in_specs=(carry_specs, none_spec, consts_specs),
-                                 out_specs=(carry_specs, (trials_spec, trials_spec)))
+                    in_specs, out_specs = sharding["shmap_in"], sharding["shmap_out"]
+                    specs = dict(in_specs=in_specs, out_specs=out_specs)
                     try:
                         mapped = shmap(vmapped, mesh=sharding["mesh"],
                                        check_vma=False, **specs)
@@ -482,7 +509,7 @@ class OptimizationBasedAttacker(_BaseAttacker):
                         mapped = shmap(vmapped, mesh=sharding["mesh"],
                                        check_rep=False, **specs)
                     chunk_runners[length] = jax.jit(mapped, donate_argnums=(0,))
-                elif sharding:  # "2d": GSPMD channel sharding, pinned both ways
+                elif sharding:  # "experimental-2d": GSPMD channel sharding, pinned both ways
                     # pin carry shardings on BOTH sides of the jit: without
                     # out_shardings GSPMD may emit outputs with a different
                     # layout than the committed inputs, and chunk 2 would
@@ -538,7 +565,10 @@ class OptimizationBasedAttacker(_BaseAttacker):
         self._attack_shardings = None
         if sharding_mode:
             carry, loss_consts = self._shard_attack_state(
-                sharding_mode, num_trials, carry, loss_consts)
+                sharding_mode, num_trials, carry, loss_consts,
+                num_points=num_points,
+                loss_meta=getattr(total_loss, "meta", {}),
+                needs_value_fn=needs_value_fn)
 
         # --- cost-analysis probe (bench.py MFU accounting): abstract arg
         # structs let chunk_cost_analysis() re-lower the cached runner later
@@ -656,34 +686,121 @@ class OptimizationBasedAttacker(_BaseAttacker):
 
     # ------------------------------------------------------------------ sharding
 
-    def _shard_attack_state(self, mode, num_trials, carry, loss_consts):
+    def _shard_attack_state(self, mode, num_trials, carry, loss_consts,
+                            num_points=None, loss_meta=None,
+                            needs_value_fn=False):
         """Shard the chunk-runner inputs over a mesh (attack.impl.sharding).
 
-        mode "restarts": trials axis data-parallel; params/buffers/targets
-        replicated on every chip. mode "2d": leftover devices form a 'model'
-        axis and parameter + target-gradient channels are sharded over it
-        (out-channel megatron rule, parallel/mesh.py:params_partition_specs).
-        Every leaf of the scan carry has a leading [num_trials] axis by
-        construction, so a single P('restarts') spec shards all of them.
+        mode "restarts": trials axis data-parallel via shard_map; params/
+        buffers/targets replicated on every chip; bit-comparable to solo.
+
+        mode "batch": trials over 'restarts' AND the candidate batch over the
+        leftover 'model' axis, via shard_map. Each device computes the task
+        gradient of its micro-batch and a pmean over 'model' reconstitutes the
+        exact full-batch user gradient before the matching distance (the task
+        loss is a batch mean and shards are equal-sized), so trajectories
+        match solo to float tolerance — asserted at rtol 1e-5 by
+        __graft_entry__.dryrun_multichip. This is the trustworthy model-axis
+        scaling mode: it splits the double-backward's activation memory across
+        chips (the same bottleneck attack.impl.grad_accum trades FLOPs for).
+
+        mode "experimental-2d" (formerly "2d"): GSPMD channel-sharding of
+        parameter/target-gradient tensors (out-channel megatron rule,
+        parallel/mesh.py:params_partition_specs). The SPMD-partitioned conv
+        backward deviates numerically on some backends — demo-grade, hence the
+        name; use "batch" or "restarts" in production.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel import make_attack_mesh, params_partition_specs
 
-        if mode not in ("restarts", "2d", "model"):
+        if mode in ("2d", "model"):
+            log.warning(f"attack.impl.sharding={mode!r} is renamed "
+                        f"'experimental-2d' (numerically demo-grade; see "
+                        f"docstring). Prefer 'batch' or 'restarts'.")
+            mode = "experimental-2d"
+        if mode not in ("restarts", "batch", "experimental-2d"):
             raise ValueError(f"Unknown attack.impl.sharding mode {mode!r}; "
-                             f"use 'restarts' or '2d'.")
-        mesh = make_attack_mesh(num_trials, mode)
+                             f"use 'restarts', 'batch', or 'experimental-2d'.")
+        mesh = make_attack_mesh(num_trials,
+                                "model" if mode != "restarts" else "restarts")
         trials = NamedSharding(mesh, P("restarts"))
         replicated = NamedSharding(mesh, P())
-        carry = jax.tree_util.tree_map(lambda x: jax.device_put(x, trials), carry)
-        if mesh.shape["model"] > 1 and loss_consts:
+        m = mesh.shape["model"]
+
+        if mode == "batch" and m > 1:
+            meta = loss_meta or {}
+            problems = []
+            if not loss_consts:
+                problems.append("attack loss without the consts protocol")
+            if num_points is None or num_points % m != 0:
+                problems.append(f"batch of {num_points} not divisible by the "
+                                f"model axis ({m})")
+            if getattr(self.objective, "local_hyperparams", None) is not None:
+                problems.append("multi-step (fedAVG-unrolled) objective")
+            if meta.get("bn_train"):
+                problems.append("BatchNorm train mode (batch stats span shards)")
+            if meta.get("need_capture"):
+                problems.append("capture-intermediates regularizers "
+                                "(DeepInversion/FeatureRegularization)")
+            if "OrthogonalityRegularization" in (meta.get("reg_names") or ()):
+                problems.append("cross-example OrthogonalityRegularization")
+            if needs_value_fn:
+                problems.append("closure optimizers (L-BFGS inner products "
+                                "span the full candidate)")
+            if len(carry) >= 6 and carry[5]:
+                problems.append("fleet mode (per-trial targets would need "
+                                "their own batch specs)")
+            if problems:
+                raise ValueError(
+                    "attack.impl.sharding='batch' cannot shard this attack: "
+                    + "; ".join(problems) + ". Use sharding='restarts'.")
+
+        if mode == "batch" and m > 1:
+            # per-leaf carry specs: float leaves whose axis 1 is the candidate
+            # batch shard over ('restarts','model'); everything else (PRNG
+            # keys, int step counters, best_val) over 'restarts' only
+            def carry_spec(leaf):
+                if (hasattr(leaf, "ndim") and leaf.ndim >= 2
+                        and leaf.shape[1] == num_points
+                        and jnp.issubdtype(jnp.result_type(leaf), jnp.floating)):
+                    return P("restarts", "model")
+                return P("restarts")
+
+            carry_specs = jax.tree_util.tree_map(carry_spec, carry)
+            consts_specs = dict(
+                params=jax.tree_util.tree_map(lambda _: P(), loss_consts["params"]),
+                buffers=jax.tree_util.tree_map(lambda _: P(), loss_consts["buffers"]),
+                grads=jax.tree_util.tree_map(lambda _: P(), loss_consts["grads"]),
+            )
+            if loss_consts.get("labels") is not None:
+                consts_specs["labels"] = P("model")
+            elif "labels" in loss_consts:
+                consts_specs["labels"] = None
+            carry_sh = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), carry_specs)
+            consts_sh = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), consts_specs)
+            carry = jax.tree_util.tree_map(jax.device_put, carry, carry_sh)
+            loss_consts = jax.tree_util.tree_map(
+                jax.device_put, loss_consts, consts_sh)
+            # the objective pmeans its task gradient over 'model' (exact; see
+            # objectives.GradientLoss.initialize) — read at trace time
+            self.objective.shard_axis = "model"
+            self._attack_shardings = dict(
+                mode="batch", mesh=mesh,
+                shmap_in=(carry_specs, P(), consts_specs),
+                shmap_out=(carry_specs, (P("restarts"), P("restarts"))),
+                carry_sh=carry_sh, consts_sh=consts_sh, val_sh=trials)
+        elif mode == "experimental-2d" and m > 1 and loss_consts:
             log.warning(
-                "sharding='2d' uses the GSPMD partitioner for channel-sharded "
-                "parameters; on some backends the partitioned conv backward "
-                "deviates numerically from single-device execution (XLA SPMD "
-                "rematerialization fallback). 'restarts' runs through shard_map "
-                "and is bit-comparable to solo.")
+                "sharding='experimental-2d' uses the GSPMD partitioner for "
+                "channel-sharded parameters; on some backends the partitioned "
+                "conv backward deviates numerically from single-device "
+                "execution (XLA SPMD rematerialization fallback). 'batch' and "
+                "'restarts' run through shard_map and match solo tightly.")
+            carry = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, trials), carry)
             specs = dict(
                 params=tuple(params_partition_specs(p, mesh)
                              for p in loss_consts["params"]),
@@ -691,27 +808,37 @@ class OptimizationBasedAttacker(_BaseAttacker):
                               for b in loss_consts["buffers"]),
                 grads=tuple(params_partition_specs(g, mesh)
                             for g in loss_consts["grads"]))
+            if "labels" in loss_consts:
+                specs["labels"] = (jax.tree_util.tree_map(
+                    lambda _: P(), loss_consts["labels"])
+                    if loss_consts.get("labels") is not None else None)
             consts_shardings = jax.tree_util.tree_map(
                 lambda s: NamedSharding(mesh, s), specs)
             loss_consts = jax.tree_util.tree_map(
                 jax.device_put, loss_consts, consts_shardings)
-            mode = "2d"
+            self._attack_shardings = dict(
+                mode="experimental-2d", mesh=mesh,
+                carry_sh=jax.tree_util.tree_map(lambda _: trials, carry),
+                consts_sh=consts_shardings, val_sh=trials)
         else:
             consts_shardings = jax.tree_util.tree_map(
                 lambda _: replicated, loss_consts)
             loss_consts = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, replicated), loss_consts)
-            mode = "restarts"
-        self._attack_shardings = dict(
-            mode=mode,
-            mesh=mesh,
-            carry_struct=jax.tree_util.tree_map(lambda _: 0, carry),
-            carry_sh=jax.tree_util.tree_map(lambda _: trials, carry),
-            consts_sh=consts_shardings,
-            val_sh=trials,  # per-chunk (values, task_losses): [trials, chunk]
-        )
+            carry = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, trials), carry)
+            trials_spec, none_spec = P("restarts"), P()
+            carry_specs = jax.tree_util.tree_map(lambda _: trials_spec, carry)
+            consts_specs = jax.tree_util.tree_map(lambda _: none_spec, loss_consts)
+            self._attack_shardings = dict(
+                mode="restarts", mesh=mesh,
+                shmap_in=(carry_specs, none_spec, consts_specs),
+                shmap_out=(carry_specs, (trials_spec, trials_spec)),
+                carry_sh=jax.tree_util.tree_map(lambda _: trials, carry),
+                consts_sh=consts_shardings, val_sh=trials)
         log.info(f"Attack state sharded over mesh {dict(mesh.shape)} "
-                 f"({mesh.devices.size} devices, mode={mode}).")
+                 f"({mesh.devices.size} devices, mode="
+                 f"{self._attack_shardings['mode']}).")
         return carry, loss_consts
 
     # ------------------------------------------------------------------ scoring

@@ -67,6 +67,25 @@ def tokenizer_for(cfg_data, lines=None):
     name = str(cfg_data.tokenizer)
     if name == "character":
         return CharTokenizer(cfg_data.vocab_size)
+    if name == "canine":
+        # the reference's "character" tokenizer is CanineTokenizer (reference
+        # datasets_text.py:142) — pure unicode codepoints, constructible fully
+        # OFFLINE (no vocab files); ids are ord(char) + special codepoints
+        from transformers import CanineTokenizer
+
+        class _CanineAdapter:
+            def __init__(self):
+                self._tok = CanineTokenizer()
+                self.vocab_size = self._tok.vocab_size
+
+            def encode(self, text):
+                ids = self._tok(text, add_special_tokens=False)["input_ids"]
+                return type("Enc", (), {"ids": ids})()
+
+            def decode(self, ids):
+                return self._tok.decode(ids)
+
+        return _CanineAdapter()
     if name == "word-level":
         from tokenizers import Tokenizer
 

@@ -25,9 +25,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUBLANES = 8
-# 2048 rows x 128 lanes x 4B = 1MB VMEM tiles: measured 1.65x faster than XLA's
-# fused reduction on v5e at ResNet-18 gradient sizes; small tiles (512 rows)
-# serialize on grid-step overhead and lose 6x.
+# 2048 rows x 128 lanes x 4B = 1MB VMEM tiles: 1.65x faster than XLA's
+# STANDALONE 3-pass reduction on v5e at ResNet-18 gradient sizes (isolated
+# microbenchmark; small 512-row tiles serialize on grid-step overhead and lose
+# 6x). END-TO-END the plain XLA objective wins (BENCH_r04:
+# fused_objective_iters_per_sec 178.5 vs 304.7): inside the attack XLA fuses
+# the matching reductions into the conv-backward epilogues, while the
+# pallas_call boundary forces the whole gradient pytree to materialize and
+# concatenate in HBM every iteration. The kernel is kept as a tested,
+# honestly-benchmarked alternative (attack.objective.type=fused-*), not the
+# default.
 TILE = 2048 * LANES
 
 

@@ -33,6 +33,18 @@ def system_startup(process_idx=0, local_group_size=1, cfg=None):
     """
     _configure_logging()
     jax.config.update("jax_enable_x64", False)
+    # persistent compilation cache: the attack chunk's first compile costs
+    # 50s-20min on the remote TPU compiler; caching it on disk makes repeated
+    # runs (bench, parity sweeps, the driver) skip it entirely. Harmless where
+    # the backend does not support executable serialization (jax logs and
+    # proceeds). tests/conftest.py sets the same directory for the CPU suite.
+    try:
+        _cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # older jax without these flags
+        pass
 
     dtype = jnp.float32
     if cfg is not None:

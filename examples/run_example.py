@@ -112,7 +112,13 @@ EXAMPLES = {
     "decepticons_bert": ["case=9_bert_training", "attack=decepticon",
                          "case/server=malicious-transformer", "case.model=bert-base-uncased",
                          "case.user.num_data_points=1", "case.user.user_idx=1",
-                         "case.data.shape=[512]"],
+                         "case.data.shape=[512]",
+                         # exact-reference matching stack (see
+                         # decepticon_attack.py + tests/test_decepticon_exact.py)
+                         "attack.exact_supplement=True",
+                         "attack.collision_recovery=True",
+                         "attack.exact_refinement=2",
+                         "attack.embedding_token_weight=0.8"],
     # THE notebook setting ("small GPT2 on wikitext"): gpt2S = full GPT-2 with
     # ReLU, 8 sentences x 512 tokens, same server/attack params as hf-gpt2
     "decepticons_gpt2": ["case=10_causal_lang_training", "attack=decepticon",
@@ -165,6 +171,7 @@ EXAMPLES = {
         # enable collided-bin decomposition, and drive position/token
         # alternation — measured on the cached 1x512 lab exchange
         "attack.exact_supplement=True", "attack.collision_recovery=True",
+        "attack.exact_refinement=2",
         "attack.embedding_token_weight=0.8"],
     # text imprints (reference wikitext notebooks: 128 sentences x 32 tokens)
     "robbing_the_fed_text": [

@@ -140,3 +140,36 @@ def test_multiuser_aggregate_hyperparam_and_singlestep_semantics():
     assert hp is not None and hp["steps"] == 2
     assert len(hp["labels"]) == 2 * 2  # 2 steps x 2 users
     assert all(np.asarray(l).shape == (2,) for l in hp["labels"])
+
+
+def test_multiuser_aggregate_sharded_over_mesh_matches_sequential():
+    """8 users on the 8-device mesh take the shard_map + pmean path
+    (users.py:_aggregate_singlestep_batched); the aggregate must equal the
+    mean of the 8 sequential per-user fedSGD gradients."""
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = breaching.get_config([
+        "case=8_industry_scale_fl", "attack=invertinggradients",
+        "case/data=CIFAR10", "case.model=ConvNetSmall16",
+        "case.data.shape=[3, 16, 16]", "case.data.default_clients=16",
+        "case.user.user_range=[0, 8]", "case.user.num_data_points=1",
+        "case.user.provide_labels=True", "seed=6",
+    ])
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    assert user.num_users == 8 and user.num_users % jax.device_count() == 0
+    shared, payloads, true_data = server.run_protocol(user)
+    agg = shared[0]["gradients"] if isinstance(shared, list) else shared["gradients"]
+
+    from breaching_tpu.cases.users import UserSingleStep
+    subs = []
+    for idx, loader in zip(user.user_indices, user.dataloaders):
+        su = UserSingleStep(user.model, user.loss, loader, setup, idx, cfg.case.user)
+        sub_shared, _ = su.compute_local_updates(payloads[0])
+        subs.append(sub_shared["gradients"])
+    mean = jax.tree_util.tree_map(lambda *gs: sum(gs) / len(gs), *subs)
+    for a, b in zip(jax.tree_util.tree_leaves(agg), jax.tree_util.tree_leaves(mean)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+    assert true_data["data"].shape[0] == 8

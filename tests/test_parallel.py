@@ -151,3 +151,49 @@ def test_sharded_matches_single_device():
     sharded = jax.jit(jax.grad(matching))(candidate, params_sharded, target_sharded)
 
     np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded), rtol=2e-4, atol=1e-6)
+
+
+@requires_multidevice
+def test_batch_sharding_guards_unsupported_combos():
+    """attack.impl.sharding='batch' must refuse settings whose semantics it
+    cannot reproduce (L-BFGS pytree inner products span the full candidate)."""
+    import breaching_tpu as breaching
+
+    cfg = breaching.get_config([
+        "case=1_single_image_small", "attack=invertinggradients",
+        "attack.optim.optimizer=L-BFGS",  # closure optimizer
+        "case.model=ConvNetSmall16", "case.data.shape=[3,16,16]",
+        "case.user.num_data_points=2", "case.data.batch_size=2",
+        "case.user.provide_labels=True",
+        "attack.optim.max_iterations=2", "attack.optim.callback=1",
+        "seed=4",
+    ])
+    cfg.attack.impl.sharding = "batch"
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    shared, payloads, _ = server.run_protocol(user)
+    attacker = breaching.attacks.prepare_attack(server.model, server.loss,
+                                                cfg.attack, setup)
+    with pytest.raises(ValueError, match="cannot shard this attack"):
+        attacker.reconstruct(payloads, shared, server.secrets)
+
+
+@requires_multidevice
+def test_batch_sharding_indivisible_batch_raises():
+    import breaching_tpu as breaching
+
+    cfg = breaching.get_config([
+        "case=1_single_image_small", "attack=invertinggradients",
+        "case.model=ConvNetSmall16", "case.data.shape=[3,16,16]",
+        "case.user.num_data_points=1", "case.user.provide_labels=True",
+        "attack.optim.max_iterations=2", "attack.optim.callback=1",
+        "attack.restarts.num_trials=4", "seed=4",
+    ])
+    cfg.attack.impl.sharding = "batch"  # 8 devices, 4 trials -> model axis 2; B=1
+    setup = breaching.utils.system_startup(cfg=cfg)
+    user, server, model, loss_fn = breaching.cases.construct_case(cfg.case, setup)
+    shared, payloads, _ = server.run_protocol(user)
+    attacker = breaching.attacks.prepare_attack(server.model, server.loss,
+                                                cfg.attack, setup)
+    with pytest.raises(ValueError, match="not divisible"):
+        attacker.reconstruct(payloads, shared, server.secrets)

@@ -47,3 +47,17 @@ def test_roundtrip_and_attack_on_tokenized_corpus(tmp_path):
     metrics = breaching.analysis.report(rec, true_data, payloads, server.model,
                                         cfg_case=cfg.case, setup=setup)
     assert metrics["token_acc"] > 0.5, metrics
+
+
+def test_canine_tokenizer_offline():
+    """The reference's 'character' tokenizer is CanineTokenizer (reference
+    datasets_text.py:142) — pure unicode codepoints, offline-constructible."""
+    from breaching_tpu.cases.data.datasets_text import tokenizer_for
+    from breaching_tpu.config.loader import ConfigNode
+
+    cfg = ConfigNode(tokenizer="canine", vocab_size=1114112, path="~/data")
+    tok = tokenizer_for(cfg)
+    ids = tok.encode("Hi!").ids
+    assert ids == [ord("H"), ord("i"), ord("!")]
+    assert tok.vocab_size == 1114112
+    assert "Hi!" in tok.decode(ids)
