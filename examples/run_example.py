@@ -10,14 +10,29 @@ sys.path.insert(0, ".")
 
 EXAMPLES = {
     "inverting_gradients_resnet18": ["case=2_single_imagenet", "attack=invertinggradients"],
-    # reference notebook "...ResNet18 on ImageNet - Federated Averaging":
-    # 4 images, 4 local steps of batch 2, labels provided
+    # reference notebook "...ResNet18 on ImageNet - Federated Averaging"
+    # (PSNR 20.78): despite the filename, the committed notebook overrides
+    # case/data=CIFAR10 + model resnet18 + TV 1e-3 + partition random — an
+    # UNTRAINED CIFAR-stem ResNet18 on 32x32 (reference examples/"Inverting
+    # Gradients...Federated Averaging.ipynb", cfg cell; the reference loads no
+    # checkpoint for custom CIFAR models). This preset matches that setting.
     "inverting_gradients_fedavg": ["case=4_fedavg_small_scale", "attack=invertinggradients",
+                                   "case/data=CIFAR10", "case.data.partition=random",
+                                   "case.model=ResNet18", "case.server.pretrained=False",
                                    "case.user.num_data_points=4",
                                    "case.user.num_local_updates=4",
                                    "case.user.num_data_per_local_update_step=2",
                                    "case.user.provide_labels=True",
-                                   "case.user.user_idx=1"],
+                                   "case.user.user_idx=1",
+                                   "attack.regularization.total_variation.scale=1e-3"],
+    # the setting the notebook's TITLE names (ImageNetAnimals at 224, in-repo
+    # trained checkpoint): kept as a strictly-harder tracked row
+    "inverting_gradients_fedavg_imagenet": ["case=4_fedavg_small_scale", "attack=invertinggradients",
+                                            "case.user.num_data_points=4",
+                                            "case.user.num_local_updates=4",
+                                            "case.user.num_data_per_local_update_step=2",
+                                            "case.user.provide_labels=True",
+                                            "case.user.user_idx=1"],
     # demo-scale fedAVG variant (ConvNet on CIFAR-10 — the fast sandbox the
     # old case-4 yaml used to bake in; now a visible preset)
     "inverting_gradients_fedavg_cifar": ["case=4_fedavg_small_scale", "attack=invertinggradients",

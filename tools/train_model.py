@@ -51,7 +51,7 @@ from breaching_tpu.cases.models.model_preparation import construct_model
 
 TRAIN_DEFAULTS = dict(epochs=10, lr=0.1, batch_size=128, weight_decay=5e-4,
                       momentum=0.9, optimizer="sgd", limit=0, eval_batches=8,
-                      out="", res=0, resume=0)
+                      out="", res=0, resume=0, materialize=1)
 
 
 def dump_flat_state(model) -> dict:
@@ -73,6 +73,31 @@ def dump_flat_state(model) -> dict:
 def _batch_arrays(batch, modality):
     inputs = batch["input_ids" if modality == "text" else "inputs"]
     return jnp.asarray(inputs), jnp.asarray(batch["labels"])
+
+
+def _materialize_vision(dataset) -> tuple:
+    """Generate the whole (lazy) vision split once as uint8 [0,255] + labels.
+
+    The synthetic backend costs ~3 ms/image on this 1-core host and the
+    config-driven augmentations are seeded per-image (datasets_vision.py:87),
+    i.e. identical every epoch — so paying generation once and training from
+    the frozen arrays is semantically the same run, minus 100+ seconds of
+    host datagen per epoch. Images are stored pre-normalization (uint8) to
+    quarter the host->TPU transfer; normalization replays on device.
+    """
+    n = len(dataset)
+    sample = dataset[0]["inputs"]
+    imgs = np.empty((n,) + sample.shape, np.uint8)
+    labels = np.empty((n,), np.int32)
+    mean, std = dataset.mean, dataset.std
+    t0 = time.time()
+    for i in range(n):
+        item = dataset[i]
+        raw = item["inputs"] * std + mean  # invert the dataset's normalization
+        imgs[i] = np.clip(np.rint(raw * 255.0), 0, 255).astype(np.uint8)
+        labels[i] = item["labels"]
+    print(f"Materialized {n} images in {time.time() - t0:.0f}s.", flush=True)
+    return imgs, labels
 
 
 def _apply_res(cfg_data, res: int) -> None:
@@ -178,6 +203,51 @@ def train(cfg, tr) -> str:
         val_loader = construct_dataloader(cfg_val, cfg.case.impl, user_idx=0,
                                           return_full_dataset=True)
 
+    # Materialized on-device path (vision): whole split as device-resident
+    # uint8, each epoch one jitted scan — removes the ~3 ms/img host datagen
+    # from every epoch and all per-step host->TPU transfers.
+    mat = bool(tr["materialize"]) and modality == "vision"
+    batch = int(tr["batch_size"])
+    if mat:
+        imgs_np, labels_np = _materialize_vision(loader.dataset)
+        steps_per_epoch = max(len(imgs_np) // batch, 1)
+        mean_c = jnp.asarray(loader.dataset.mean, jnp.float32)
+        std_c = jnp.asarray(loader.dataset.std, jnp.float32)
+
+        def norm(x_u8):
+            return (x_u8.astype(jnp.float32) / 255.0 - mean_c) / std_c
+
+        @jax.jit
+        def run_epoch(params, buffers, opt_state, data, labels_all, idxs):
+            def body(carry, idx):
+                params, buffers, opt_state, loss_sum = carry
+                p, b, o, loss = step(params, buffers, opt_state,
+                                     norm(data[idx]), labels_all[idx])
+                return (p, b, o, loss_sum + loss), None
+            carry, _ = jax.lax.scan(
+                body, (params, buffers, opt_state, jnp.float32(0)), idxs)
+            return carry
+
+        @jax.jit
+        def recal_dev(params, data, idxs):
+            def body(bufs, idx):
+                return update_stats(params, bufs, norm(data[idx])), None
+            bufs, _ = jax.lax.scan(body, init_buffers, idxs)
+            return bufs
+
+        @jax.jit
+        def score_u8(params, buffers, x_u8, labels):
+            return score(params, buffers, norm(x_u8), labels)
+
+        data_dev = jax.device_put(imgs_np)
+        labels_dev = jax.device_put(labels_np)
+        val_dev = None
+        if val_loader is not None:
+            n_eval = min(len(val_loader.dataset), int(tr["eval_batches"]) * batch)
+            val_imgs, val_labels = _materialize_vision(
+                val_loader.dataset.subset(np.arange(n_eval)))
+            val_dev = (jax.device_put(val_imgs), jax.device_put(val_labels))
+
     out = str(tr["out"]) or os.path.expanduser(
         os.path.join(str(cfg_data.path), "checkpoints", f"{model.name}.npz"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -194,18 +264,34 @@ def train(cfg, tr) -> str:
     print(f"Training {model.name} on {loader.name} "
           f"({len(loader.dataset)} examples, {steps_per_epoch} steps/epoch).",
           flush=True)
+    shuffle_rng = np.random.default_rng(0)
     for epoch in range(int(tr["epochs"])):
-        loader.seed = epoch  # reshuffle deterministically per epoch
-        t0, losses = time.time(), []
-        for batch in loader:
-            inputs, labels = _batch_arrays(batch, modality)
-            params, buffers, opt_state, loss = step(
-                params, buffers, opt_state, inputs, labels)
-            losses.append(float(loss))
-        buffers = recalibrate(params)
-        msg = (f"epoch {epoch + 1}/{tr['epochs']}: loss {np.mean(losses):.4f} "
+        t0 = time.time()
+        if mat:
+            perm = shuffle_rng.permutation(len(imgs_np))[: steps_per_epoch * batch]
+            idxs = jnp.asarray(perm.reshape(steps_per_epoch, batch), jnp.int32)
+            params, buffers, opt_state, loss_sum = run_epoch(
+                params, buffers, opt_state, data_dev, labels_dev, idxs)
+            buffers = recal_dev(params, data_dev, idxs[: min(16, steps_per_epoch)])
+            mean_loss = float(loss_sum) / steps_per_epoch
+        else:
+            loader.seed = epoch  # reshuffle deterministically per epoch
+            losses = []
+            for b in loader:
+                inputs, labels = _batch_arrays(b, modality)
+                params, buffers, opt_state, loss = step(
+                    params, buffers, opt_state, inputs, labels)
+                losses.append(float(loss))
+            buffers = recalibrate(params)
+            mean_loss = float(np.mean(losses))
+        msg = (f"epoch {epoch + 1}/{tr['epochs']}: loss {mean_loss:.4f} "
                f"({time.time() - t0:.1f}s)")
-        if val_loader is not None:
+        if mat and val_dev is not None:
+            vi, vl = val_dev
+            accs = [float(score_u8(params, buffers, vi[i:i + batch], vl[i:i + batch]))
+                    for i in range(0, len(vl), batch)]
+            msg += f", val acc {np.mean(accs):.4f}"
+        elif val_loader is not None:
             accs = [float(score(params, buffers, *_batch_arrays(b, modality)))
                     for b, _ in zip(val_loader, range(int(tr["eval_batches"])))]
             msg += f", val acc {np.mean(accs):.4f}"
