@@ -124,16 +124,15 @@ EXAMPLES = {
                                 "case.data.batch_size=8",
                                 "case.data.default_clients=1000"],
     # notebook setting: 1 sentence x 512 tokens
+    # plain preset: a controlled A/B on the cached 1x512 lab exchange measured
+    # the exact-reference stack NEUTRAL for the flax bert-style model
+    # (positional acc 0.9160 plain vs 0.9141 all-flags; every leave-one-out
+    # within 0.002) — the flags stay off here and on for hf-bert, where they
+    # measurably help on fresh exchanges (0.8965 -> 0.9043)
     "decepticons_bert": ["case=9_bert_training", "attack=decepticon",
                          "case/server=malicious-transformer", "case.model=bert-base-uncased",
                          "case.user.num_data_points=1", "case.user.user_idx=1",
-                         "case.data.shape=[512]",
-                         # exact-reference matching stack (see
-                         # decepticon_attack.py + tests/test_decepticon_exact.py)
-                         "attack.exact_supplement=True",
-                         "attack.collision_recovery=True",
-                         "attack.exact_refinement=2",
-                         "attack.embedding_token_weight=0.8"],
+                         "case.data.shape=[512]"],
     # THE notebook setting ("small GPT2 on wikitext"): gpt2S = full GPT-2 with
     # ReLU, 8 sentences x 512 tokens, same server/attack params as hf-gpt2
     "decepticons_gpt2": ["case=10_causal_lang_training", "attack=decepticon",

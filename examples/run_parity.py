@@ -44,6 +44,7 @@ SWEEP = [
     "inverting_gradients_resnet18",
     "modern_hyperparams",
     "inverting_gradients_fedavg",
+    "inverting_gradients_fedavg_imagenet",
     "multiscale",
     "see_through_gradients",
     "fishing",
@@ -60,6 +61,7 @@ TIMEOUT_S = {  # generous per-setting budgets (compile + run)
     "inverting_gradients_resnet18": 5400,
     "modern_hyperparams": 5400,
     "inverting_gradients_fedavg": 7200,
+    "inverting_gradients_fedavg_imagenet": 7200,
     "multiscale": 7200,
     "fishing": 5400,
     "fishing_optimization_unique": 7200,

@@ -51,7 +51,8 @@ from breaching_tpu.cases.models.model_preparation import construct_model
 
 TRAIN_DEFAULTS = dict(epochs=10, lr=0.1, batch_size=128, weight_decay=5e-4,
                       momentum=0.9, optimizer="sgd", limit=0, eval_batches=8,
-                      out="", res=0, resume=0, materialize=1)
+                      out="", res=0, resume=0, materialize=1, device_aug=0,
+                      mixup=0.0)
 
 
 def dump_flat_state(model) -> dict:
@@ -207,6 +208,7 @@ def train(cfg, tr) -> str:
     # uint8, each epoch one jitted scan — removes the ~3 ms/img host datagen
     # from every epoch and all per-step host->TPU transfers.
     mat = bool(tr["materialize"]) and modality == "vision"
+    aug_dev = bool(tr["device_aug"]) and mat
     batch = int(tr["batch_size"])
     if mat:
         imgs_np, labels_np = _materialize_vision(loader.dataset)
@@ -217,15 +219,59 @@ def train(cfg, tr) -> str:
         def norm(x_u8):
             return (x_u8.astype(jnp.float32) / 255.0 - mean_c) / std_c
 
+        def _augment(x_u8, key):
+            # Fresh random flip + shifted crop per epoch. The host-side
+            # config augmentations are seeded per-image (identical every
+            # epoch — see _materialize_vision), so without this the model
+            # never sees a second view of any example and memorizes.
+            n, h, w, c = x_u8.shape
+            kf, ks = jax.random.split(key)
+            flip = jax.random.bernoulli(kf, shape=(n,))
+            x = jnp.where(flip[:, None, None, None], x_u8[:, :, ::-1, :], x_u8)
+            pad = max(h // 16, 2)
+            xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+            offs = jax.random.randint(ks, (n, 2), 0, 2 * pad + 1)
+            crop = lambda img, off: jax.lax.dynamic_slice(
+                img, (off[0], off[1], 0), (h, w, c))
+            return jax.vmap(crop)(xp, offs)
+
+        mix_alpha = float(tr["mixup"])
+
         @jax.jit
-        def run_epoch(params, buffers, opt_state, data, labels_all, idxs):
-            def body(carry, idx):
+        def step_mix(params, buffers, opt_state, inputs, y1, y2, lam):
+            # mixup with integer labels: convex combination of the two CEs
+            def objective(p):
+                logits, aux = model.apply(p, buffers, inputs, train=True)
+                return (lam * loss_fn(logits, y1)
+                        + (1 - lam) * loss_fn(logits, y2)), aux
+            (loss, aux), grads = jax.value_and_grad(objective, has_aux=True)(params)
+            updates, opt_state_ = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, aux.get("batch_stats", buffers), opt_state_, loss
+
+        @jax.jit
+        def run_epoch(params, buffers, opt_state, data, labels_all, idxs, key):
+            keys = jax.random.split(key, idxs.shape[0])
+            def body(carry, xs):
+                idx, k = xs
                 params, buffers, opt_state, loss_sum = carry
-                p, b, o, loss = step(params, buffers, opt_state,
-                                     norm(data[idx]), labels_all[idx])
+                x = data[idx]
+                if aug_dev:
+                    x = _augment(x, k)
+                y = labels_all[idx]
+                if mix_alpha > 0:
+                    lam = jax.random.beta(jax.random.fold_in(k, 1),
+                                          mix_alpha, mix_alpha)
+                    lam = jnp.maximum(lam, 1 - lam)  # keep y1 the major label
+                    xf = norm(x)
+                    p, b, o, loss = step_mix(
+                        params, buffers, opt_state,
+                        lam * xf + (1 - lam) * xf[::-1], y, y[::-1], lam)
+                else:
+                    p, b, o, loss = step(params, buffers, opt_state, norm(x), y)
                 return (p, b, o, loss_sum + loss), None
             carry, _ = jax.lax.scan(
-                body, (params, buffers, opt_state, jnp.float32(0)), idxs)
+                body, (params, buffers, opt_state, jnp.float32(0)), (idxs, keys))
             return carry
 
         @jax.jit
@@ -271,7 +317,8 @@ def train(cfg, tr) -> str:
             perm = shuffle_rng.permutation(len(imgs_np))[: steps_per_epoch * batch]
             idxs = jnp.asarray(perm.reshape(steps_per_epoch, batch), jnp.int32)
             params, buffers, opt_state, loss_sum = run_epoch(
-                params, buffers, opt_state, data_dev, labels_dev, idxs)
+                params, buffers, opt_state, data_dev, labels_dev, idxs,
+                jax.random.PRNGKey(epoch))
             buffers = recal_dev(params, data_dev, idxs[: min(16, steps_per_epoch)])
             mean_loss = float(loss_sum) / steps_per_epoch
         else:
