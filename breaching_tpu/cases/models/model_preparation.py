@@ -249,20 +249,35 @@ def load_flat_state(model: JaxModel, flat: dict, strict: bool = False) -> int:
 
 
 def _maybe_load_pretrained(model: JaxModel, cfg_data) -> None:
-    """Load converted pretrained weights from <data.path>/checkpoints/<name>.npz if present."""
+    """Load converted pretrained weights from <data.path>/checkpoints/<name>.npz
+    or, as a fallback, the git-tracked <repo>/assets/checkpoints/<name>.npz.
+
+    The repo-local fallback exists because this environment's data directory is
+    ephemeral (wiped between sessions) while the in-repo-trained checkpoints are
+    the basis of every `trained (in-repo)` parity row — they must survive with
+    the repository, not with the scratch disk.
+    """
     import os
 
     import numpy as np
 
-    path = os.path.expanduser(os.path.join(str(cfg_data.path), "checkpoints", f"{model.name}.npz"))
-    if not os.path.exists(path):
+    candidates = [
+        os.path.expanduser(os.path.join(str(cfg_data.path), "checkpoints",
+                                        f"{model.name}.npz")),
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))), "assets",
+            "checkpoints", f"{model.name}.npz"),
+    ]
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
         import logging
 
         # The reference downloads checkpoints here (model_preparation.py:170,
         # 194-214); offline, a missing npz silently meant random init — loud
         # warning so "trained" parity runs can't be mistaken for trained ones.
         logging.getLogger(__name__).warning(
-            f"pretrained=True but no checkpoint at {path}; keeping random init. "
+            f"pretrained=True but no checkpoint at {candidates[0]} (nor the "
+            f"repo fallback {candidates[1]}); keeping random init. "
             f"Produce one with tools/train_model.py or tools/convert_checkpoint.py.")
         return
     import logging
