@@ -115,3 +115,27 @@ def test_resume_continues_from_checkpoint(trained):
         if k.startswith("params/"):
             np.testing.assert_allclose(after[k], before[k], atol=1e-6,
                                        err_msg=k)
+
+
+def test_checkpoint_loads_via_assets_fallback(trained):
+    """When <data.path>/checkpoints/ has no npz, _maybe_load_pretrained must
+    fall back to the git-tracked <repo>/assets/checkpoints/ (the scratch data
+    dir is ephemeral in this environment; the in-repo-trained checkpoints
+    behind the 'trained (in-repo)' parity rows live with the repository)."""
+    import shutil
+
+    cfg, path = trained
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assets_dir = os.path.join(repo, "assets", "checkpoints")
+    os.makedirs(assets_dir, exist_ok=True)
+    staged = os.path.join(assets_dir, "ConvNetSmall16.npz")
+    shutil.copy(path, staged)
+    try:
+        loaded, _ = construct_model("ConvNetSmall16", cfg.case.data, pretrained=True)
+        from tools.train_model import dump_flat_state
+
+        flat = dict(np.load(path))
+        flat_loaded = dump_flat_state(loaded)
+        assert all(np.allclose(flat_loaded[k], flat[k]) for k in flat)
+    finally:
+        os.remove(staged)
