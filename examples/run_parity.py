@@ -103,6 +103,33 @@ def publish(name):
             fh.writelines(tail)
 
 
+def write_committed_table():
+    """Rebuild results/parity_table.tsv from the published per-setting yamls.
+
+    The committed table must always agree with the committed artifacts in
+    results/metrics/, including after a partial --force re-run of a single
+    setting (a full in-process sweep is not required)."""
+    import yaml
+
+    mdir = os.path.join(RESULTS_DIR, "metrics")
+    if not os.path.isdir(mdir):
+        return
+    names = [f[:-5] for f in sorted(os.listdir(mdir)) if f.endswith(".yaml")]
+    order = {n: i for i, n in enumerate(SWEEP)}
+    names.sort(key=lambda n: (order.get(n, len(SWEEP)), n))
+    cols = ["psnr", "rpsnr", "lpips", "mse", "accuracy", "token_acc",
+            "sacrebleu", "rougeL"]
+    table = "name\t" + "\t".join(cols) + "\n"
+    for name in names:
+        with open(os.path.join(mdir, name + ".yaml")) as fh:
+            m = yaml.safe_load(fh) or {}
+        table += name + "\t" + "\t".join(
+            f"{m.get(c):.4f}" if isinstance(m.get(c), float) else str(m.get(c, ""))
+            for c in cols) + "\n"
+    with open(os.path.join(RESULTS_DIR, "parity_table.tsv"), "w") as fh:
+        fh.write(table)
+
+
 def main():
     force = "--force" in sys.argv
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -148,10 +175,7 @@ def main():
             for c in cols) + "\n"
     with open("outputs/parity_table.tsv", "w") as fh:
         fh.write(table)
-    if not wanted:  # only a full sweep overwrites the committed table
-        os.makedirs(RESULTS_DIR, exist_ok=True)
-        with open(os.path.join(RESULTS_DIR, "parity_table.tsv"), "w") as fh:
-            fh.write(table)
+    write_committed_table()
     print(json.dumps({k: {c: v.get(c) for c in ("psnr", "accuracy", "_wall_s")}
                       for k, v in results.items()}, default=str))
 
